@@ -1,0 +1,136 @@
+"""End-to-end transcription: audio waveform -> NoteSequence.
+
+The canonical inference path, rebuilding the reference colab
+`InferenceModel.__call__` (music_transcription_with_transformers.ipynb,
+cell 2) without T5X:
+
+  audio -> hop-width frames -> contiguous segments of inputs_length frames
+  -> batched (log-mel -> encoder -> KV-cached decode) on device
+  -> vocabulary decode -> host-side segment stitching with tie sections.
+
+The device program per batch is one jit: spectrogram + encoder + the whole
+autoregressive decode loop, so segments stream through with no host
+round-trips inside a batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mt3_tpu.codec import note_events, run_length, vocabulary
+from mt3_tpu.core.config import MT3Config
+from mt3_tpu.core.note_sequence import NoteSequence
+from mt3_tpu.infer import decode, postprocess
+from mt3_tpu.models import t5
+from mt3_tpu.ops import spectrogram
+
+
+@dataclasses.dataclass
+class SegmentBatch:
+  """A batch of audio segments ready for the device program."""
+  frames: np.ndarray        # [b, inputs_length, hop_width] float32
+  start_times: List[float]  # segment start time (seconds) per row
+  valid: List[bool]         # False for rows that are batch padding
+
+
+def audio_to_segments(audio: np.ndarray, config: MT3Config
+                      ) -> Sequence[SegmentBatch]:
+  """Split audio into batches of contiguous inputs_length-frame segments."""
+  hop = config.spectrogram.hop_width
+  fps = config.spectrogram.frames_per_second
+  seg_len = config.run.inputs_length
+  batch_size = config.run.infer_batch_size
+
+  frames = spectrogram.split_audio(np.asarray(audio, np.float32),
+                                   config.spectrogram)
+  n_frames = frames.shape[0]
+  n_segments = max(1, -(-n_frames // seg_len))
+
+  # Pad the frame axis so segments tile exactly.
+  pad_frames = n_segments * seg_len - n_frames
+  if pad_frames:
+    frames = np.pad(frames, [(0, pad_frames), (0, 0)])
+
+  segments = frames.reshape(n_segments, seg_len, hop)
+  start_times = [i * seg_len / fps for i in range(n_segments)]
+
+  batches = []
+  for i in range(0, n_segments, batch_size):
+    chunk = segments[i:i + batch_size]
+    times = start_times[i:i + batch_size]
+    valid = [True] * len(chunk)
+    if len(chunk) < batch_size:
+      pad = batch_size - len(chunk)
+      chunk = np.pad(chunk, [(0, pad), (0, 0), (0, 0)])
+      times = times + [0.0] * pad
+      valid = valid + [False] * pad
+    batches.append(SegmentBatch(frames=chunk, start_times=times,
+                                valid=valid))
+  return batches
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('model_config', 'spec_config',
+                                    'max_decode_len', 'temperature'))
+def _transcribe_batch(params, model_config, spec_config, frames,
+                      max_decode_len, temperature, rng):
+  """Device program: frames -> logmel -> encode -> decode tokens."""
+  mel = spectrogram.compute_logmel(
+      spectrogram.flatten_frames(frames), spec_config)
+  encoded = t5.encode(params, model_config, mel)
+  return decode.decode_tokens(params, model_config, encoded,
+                              max_decode_len, temperature=temperature,
+                              rng=rng)
+
+
+class Transcriber:
+  """Audio -> NoteSequence transcription engine."""
+
+  def __init__(self, config: MT3Config, params,
+               temperature: float = 0.0):
+    self.config = config
+    self.params = params
+    self.temperature = temperature
+    self.codec = vocabulary.build_codec(config.vocab)
+    self.vocab = vocabulary.vocabulary_from_codec(self.codec)
+    if config.run.onsets_only:
+      self.encoding_spec = note_events.NoteOnsetEncodingSpec
+    elif config.run.use_ties:
+      self.encoding_spec = note_events.NoteEncodingWithTiesSpec
+    else:
+      self.encoding_spec = note_events.NoteEncodingSpec
+
+  def __call__(self, audio: np.ndarray,
+               rng: Optional[jax.Array] = None) -> NoteSequence:
+    return self.transcribe(audio, rng=rng)['est_ns']
+
+  def transcribe(self, audio: np.ndarray,
+                 rng: Optional[jax.Array] = None):
+    """Transcribe a full waveform; returns the combined result dict."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    predictions = []
+    for batch in audio_to_segments(audio, self.config):
+      rng, batch_rng = jax.random.split(rng)
+      tokens, _ = _transcribe_batch(
+          self.params, self.config.model, self.config.spectrogram,
+          jnp.asarray(batch.frames), self.config.run.targets_length,
+          self.temperature, batch_rng)
+      tokens = np.asarray(tokens)
+      decoded = self.vocab.decode_array(tokens)
+      for row, start_time, valid in zip(decoded, batch.start_times,
+                                        batch.valid):
+        if not valid:
+          continue
+        predictions.append(postprocess.postprocess_prediction(
+            row, start_time, self.codec,
+            raw_inputs=np.zeros((0,), np.float32)))
+
+    result = postprocess.event_predictions_to_ns(
+        predictions, self.codec, self.encoding_spec)
+    return result

@@ -1,0 +1,305 @@
+"""Functional neural-net building blocks (no flax).
+
+TPU-first rebuild of the layer library the reference gets from
+/root/reference/mt3/layers.py (flax.linen modules).  Design differences:
+
+  * Parameters are plain pytrees (dicts of jnp arrays) built by `init`
+    functions; every apply function is a pure function of (params, inputs).
+  * Each parameter leaf has a parallel "logical axes" annotation used by
+    mt3_tpu.parallel to build NamedShardings (the equivalent of t5x's
+    param_with_axes, reference layers.py:408-413).
+  * Dense kernels are stored flattened 2-D exactly like t5x DenseGeneral
+    (reference layers.py:406-415), which keeps published-checkpoint
+    conversion a pure reshape-free renaming.
+  * Matmul-heavy ops cast to a configurable compute dtype (bfloat16 on TPU)
+    while params and layer norms stay float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+PyTree = Any
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+dense_init = jax.nn.initializers.variance_scaling(
+    1.0, 'fan_in', 'truncated_normal')
+embed_init = jax.nn.initializers.normal(stddev=1.0)
+
+
+def query_init(key, shape, dtype=jnp.float32, head_dim: int = 64):
+  """Query kernel pre-scaled by 1/sqrt(head_dim).
+
+  T5 folds the 1/sqrt(d) attention scaling into the query projection's
+  initialization (reference layers.py:230-234), equivalent under Adafactor.
+  """
+  return dense_init(key, shape, dtype) / np.sqrt(head_dim)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal position table
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def sinusoidal_table(max_len: int, features: int, min_scale: float = 1.0,
+                     max_scale: float = 10000.0) -> np.ndarray:
+  """Fixed sinusoidal embeddings [max_len, features].
+
+  Identical layout to the reference sinusoidal initializer
+  (layers.py:51-82): sin block in the first half of the feature dim, cos
+  block in the second half.
+  """
+  pe = np.zeros((max_len, features), dtype=np.float32)
+  position = np.arange(0, max_len)[:, np.newaxis]
+  scale_factor = -np.log(max_scale / min_scale) / (features // 2 - 1)
+  div_term = min_scale * np.exp(np.arange(0, features // 2) * scale_factor)
+  pe[:, :features // 2] = np.sin(position * div_term)
+  pe[:, features // 2:2 * (features // 2)] = np.cos(position * div_term)
+  return pe
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+def rms_norm(scale: Array, x: Array, epsilon: float = 1e-6,
+             dtype=jnp.float32) -> Array:
+  """T5 LayerNorm: RMS only, no mean subtraction, no bias (layers.py:604)."""
+  x = x.astype(jnp.float32)
+  mean2 = jnp.mean(jax.lax.square(x), axis=-1, keepdims=True)
+  y = (x * jax.lax.rsqrt(mean2 + epsilon)).astype(dtype)
+  return y * scale.astype(dtype)
+
+
+def matmul_precision(dtype) -> jax.lax.Precision:
+  """Explicit matmul precision policy.
+
+  When computing in float32 we demand true float32 accumulation (the
+  backend default silently runs reduced-precision passes); in bfloat16 the
+  fast MXU path is exactly what we asked for.
+  """
+  return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
+
+
+def dense(kernel: Array, x: Array, dtype=jnp.float32) -> Array:
+  """y = x @ kernel with kernel stored 2-D [in_features, out_features]."""
+  return jnp.matmul(x.astype(dtype), kernel.astype(dtype),
+                    precision=matmul_precision(dtype))
+
+
+def gated_mlp(params: PyTree, x: Array, activations: Sequence[str],
+              dtype=jnp.float32) -> Array:
+  """Multi-activation gated MLP (reference MlpBlock, layers.py:435-486).
+
+  activations like ('gelu', 'linear') produce gelu(x @ wi_0) * (x @ wi_1),
+  then project back with wo.
+  """
+  acts = []
+  for idx, act_name in enumerate(activations):
+    name = 'wi' if len(activations) == 1 else f'wi_{idx}'
+    h = dense(params[name], x, dtype)
+    acts.append(_activation(act_name)(h))
+  h = functools.reduce(jnp.multiply, acts)
+  return dense(params['wo'], h, dtype)
+
+
+def _activation(name: str):
+  if name == 'linear':
+    return lambda x: x
+  if name == 'gelu':
+    # flax.linen.gelu defaults to the tanh approximation; parity matters
+    # for published-checkpoint equivalence.
+    return functools.partial(jax.nn.gelu, approximate=True)
+  return getattr(jax.nn, name)
+
+
+def embed(table: Array, ids: Array, dtype=jnp.float32,
+          one_hot: bool = True) -> Array:
+  """Token embedding lookup.
+
+  one_hot=True performs the gather as a one-hot contraction, which maps to
+  the MXU and partitions cleanly under SPMD (reference layers.py:530-533).
+  """
+  if one_hot:
+    one_hot_ids = jax.nn.one_hot(ids, table.shape[0], dtype=dtype)
+    return jnp.dot(one_hot_ids, table.astype(dtype),
+                   precision=matmul_precision(dtype))
+  return table.astype(dtype)[ids]
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+def multihead_params_init(key, emb_dim: int, num_heads: int, head_dim: int,
+                          ) -> Tuple[PyTree, PyTree]:
+  """Init q/k/v/out projection kernels; returns (params, logical axes)."""
+  kq, kk, kv, ko = jax.random.split(key, 4)
+  joined = num_heads * head_dim
+  params = {
+      'query': query_init(kq, (emb_dim, joined), head_dim=head_dim),
+      'key': dense_init(kk, (emb_dim, joined)),
+      'value': dense_init(kv, (emb_dim, joined)),
+      'out': dense_init(ko, (joined, emb_dim)),
+  }
+  axes = {
+      'query': ('embed', 'joined_kv'),
+      'key': ('embed', 'joined_kv'),
+      'value': ('embed', 'joined_kv'),
+      'out': ('joined_kv', 'embed'),
+  }
+  return params, axes
+
+
+def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
+              bias: Optional[Array], num_heads: int, head_dim: int,
+              dtype=jnp.float32,
+              dropout_rng: Optional[Array] = None,
+              dropout_rate: float = 0.0) -> Array:
+  """Full (non-incremental) multi-head dot-product attention.
+
+  inputs_q: [b, q, emb]; inputs_kv: [b, k, emb];
+  bias: additive [b, 1|h, q, k] or None.  Softmax in float32.
+  """
+  b, q_len, _ = inputs_q.shape
+  k_len = inputs_kv.shape[1]
+  query = dense(params['query'], inputs_q, dtype).reshape(
+      b, q_len, num_heads, head_dim)
+  key = dense(params['key'], inputs_kv, dtype).reshape(
+      b, k_len, num_heads, head_dim)
+  value = dense(params['value'], inputs_kv, dtype).reshape(
+      b, k_len, num_heads, head_dim)
+
+  # [b, h, q, k]
+  logits = jnp.einsum('bqhd,bkhd->bhqk', query, key,
+                      precision=matmul_precision(dtype)).astype(jnp.float32)
+  if bias is not None:
+    logits = logits + bias.astype(jnp.float32)
+  weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+
+  if dropout_rng is not None and dropout_rate > 0.0:
+    # T5 broadcasts attention dropout along the query-length dim.
+    keep_shape = list(weights.shape)
+    keep_shape[-2] = 1
+    keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                tuple(keep_shape))
+    weights = weights * (
+        keep.astype(dtype) / jnp.asarray(1.0 - dropout_rate, dtype))
+
+  out = jnp.einsum('bhqk,bkhd->bqhd', weights, value,
+                   precision=matmul_precision(dtype))
+  return dense(params['out'], out.reshape(b, q_len, num_heads * head_dim),
+               dtype)
+
+
+@dataclasses.dataclass
+class KVCache:
+  """Decoder self-attention cache for one attention stack.
+
+  Keys/values are stored [layers, batch, heads, head_dim, length]: length
+  minor-most so each step's update is a broadcast one-hot add and each
+  step's attention reads are contiguous — the layout the reference notes as
+  a TPU fusion optimization with a 3-4x decode speedup (layers.py:246-305).
+  """
+  key: Array    # [L, b, h, d, len]
+  value: Array  # [L, b, h, d, len]
+
+
+def init_kv_cache(num_layers: int, batch: int, num_heads: int, head_dim: int,
+                  max_len: int, dtype=jnp.float32) -> KVCache:
+  shape = (num_layers, batch, num_heads, head_dim, max_len)
+  return KVCache(key=jnp.zeros(shape, dtype),
+                 value=jnp.zeros(shape, dtype))
+
+
+def attention_decode_step(
+    params: PyTree, x: Array, cache_k: Array, cache_v: Array,
+    cache_index: Array, num_heads: int, head_dim: int,
+    dtype=jnp.float32) -> Tuple[Array, Array, Array]:
+  """Single-position self-attention against a [b,h,d,len] cache slice.
+
+  x: [b, emb] single-step input.  Returns (output [b, emb], new_cache_k,
+  new_cache_v).  The cache update is a one-hot broadcast add (scatter-free);
+  the causal mask is an index comparison against cache_index.
+  """
+  b = x.shape[0]
+  max_len = cache_k.shape[-1]
+  query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
+  key = dense(params['key'], x, dtype).reshape(b, num_heads, head_dim)
+  value = dense(params['value'], x, dtype).reshape(b, num_heads, head_dim)
+
+  one_hot = jax.nn.one_hot(cache_index, max_len, dtype=dtype)  # [len]
+  cache_k = cache_k + key[..., None] * one_hot
+  cache_v = cache_v + value[..., None] * one_hot
+
+  # [b, h, len]
+  logits = jnp.einsum('bhd,bhdl->bhl', query, cache_k,
+                      precision=matmul_precision(dtype)).astype(jnp.float32)
+  visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+  logits = jnp.where(visible, logits, -1e10)
+  weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+  out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
+                   precision=matmul_precision(dtype))
+  out = dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
+  return out, cache_k, cache_v
+
+
+def cross_attention_decode_step(
+    params: PyTree, x: Array, keys: Array, values: Array,
+    num_heads: int, head_dim: int, dtype=jnp.float32) -> Array:
+  """Single-position cross-attention over precomputed encoder K/V.
+
+  x: [b, emb]; keys/values: [b, k_len, h, d] projected once per segment.
+  """
+  b = x.shape[0]
+  query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
+  logits = jnp.einsum('bhd,bkhd->bhk', query, keys,
+                      precision=matmul_precision(dtype)).astype(jnp.float32)
+  weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+  out = jnp.einsum('bhk,bkhd->bhd', weights, values,
+                   precision=matmul_precision(dtype))
+  return dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
+
+
+# ---------------------------------------------------------------------------
+# Mask / bias construction.  Masks are built directly as additive biases
+# (0 where attendable, -1e10 where masked), matching layers.py:316-324.
+# ---------------------------------------------------------------------------
+NEG_INF = -1e10
+
+
+def make_attention_bias(query_mask: Array, key_mask: Array,
+                        dtype=jnp.float32) -> Array:
+  """[b, q] x [b, k] boolean-ish masks -> additive bias [b, 1, q, k]."""
+  mask = query_mask[:, :, None] * key_mask[:, None, :]
+  bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(dtype)
+  return bias[:, None, :, :]
+
+
+def make_causal_bias(length: int, dtype=jnp.float32) -> Array:
+  """Additive causal bias [1, 1, q, k]."""
+  idx = jnp.arange(length)
+  mask = idx[:, None] >= idx[None, :]
+  bias = jnp.where(mask, 0.0, NEG_INF).astype(dtype)
+  return bias[None, None, :, :]
+
+
+def make_decoder_bias(decoder_target_tokens: Array,
+                      dtype=jnp.float32) -> Array:
+  """Causal + padding self-attention bias for teacher-forced decoding.
+
+  Reference semantics (layers.py:734-830, no packing): position i may
+  attend to j iff j <= i and both tokens are non-padding.
+  """
+  length = decoder_target_tokens.shape[-1]
+  causal = make_causal_bias(length, dtype)
+  nonpad = (decoder_target_tokens > 0).astype(dtype)
+  padding = make_attention_bias(nonpad, nonpad, dtype)
+  return jnp.maximum(causal + padding, NEG_INF)

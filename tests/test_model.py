@@ -1,0 +1,132 @@
+"""Model tests: shapes, decode-path consistency, masks, sinusoids."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mt3_tpu.core.config import ModelConfig
+from mt3_tpu.models import layers, t5
+
+
+@pytest.fixture(scope='module')
+def config():
+  return ModelConfig(
+      vocab_size=128, emb_dim=32, num_heads=4, num_encoder_layers=2,
+      num_decoder_layers=2, head_dim=8, mlp_dim=64,
+      mlp_activations=('gelu', 'linear'), dropout_rate=0.0,
+      input_depth=16, max_positions=64)
+
+
+@pytest.fixture(scope='module')
+def params(config):
+  p, axes = t5.init_params(jax.random.PRNGKey(0), config)
+  # The axes tree must mirror the params tree exactly.
+  p_struct = jax.tree_util.tree_structure(p)
+  axes_leaves = jax.tree_util.tree_leaves(
+      axes, is_leaf=lambda x: isinstance(x, tuple))
+  assert len(axes_leaves) == p_struct.num_leaves
+  return p
+
+
+def test_forward_shapes(config, params):
+  b, enc_len, dec_len = 2, 6, 5
+  enc_in = jnp.ones((b, enc_len, config.input_depth))
+  dec_in = jnp.array([[0, 5, 6, 7, 1], [0, 9, 1, 0, 0]], jnp.int32)
+  dec_tgt = jnp.array([[5, 6, 7, 1, 0], [9, 1, 0, 0, 0]], jnp.int32)
+  logits = t5.forward(params, config, enc_in, dec_in, dec_tgt)
+  assert logits.shape == (b, dec_len, config.vocab_size)
+  assert logits.dtype == jnp.float32
+  assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_incremental_decode_matches_teacher_forced(config, params):
+  """Step-by-step KV-cached decode == teacher-forced forward pass."""
+  b, enc_len, dec_len = 2, 6, 7
+  rng = jax.random.PRNGKey(42)
+  enc_in = jax.random.normal(rng, (b, enc_len, config.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(1), (b, dec_len), 3, 100)
+
+  # Teacher-forced: inputs are shifted targets (BOS=0).
+  dec_in = jnp.concatenate(
+      [jnp.zeros((b, 1), jnp.int32), tokens[:, :-1]], axis=1)
+  encoded = t5.encode(params, config, enc_in)
+  ref_logits = t5.decode_train(params, config, encoded, dec_in, tokens)
+
+  # Incremental.
+  state = t5.init_decode_state(params, config, encoded, dec_len)
+  step_logits = []
+  token = jnp.zeros((b,), jnp.int32)
+  for i in range(dec_len):
+    logits, state = t5.decode_step(params, config, token, state)
+    step_logits.append(logits)
+    token = tokens[:, i]
+  step_logits = jnp.stack(step_logits, axis=1)
+
+  # Note: teacher-forced masking depends on target padding while the
+  # incremental path does not; all target tokens here are non-padding so
+  # the two must agree.
+  np.testing.assert_allclose(np.asarray(ref_logits),
+                             np.asarray(step_logits), atol=2e-4, rtol=1e-4)
+
+
+def test_decode_step_jit_and_index_advance(config, params):
+  b, enc_len = 2, 4
+  enc_in = jnp.ones((b, enc_len, config.input_depth))
+  encoded = t5.encode(params, config, enc_in)
+  state = t5.init_decode_state(params, config, encoded, 8)
+  step = jax.jit(lambda tok, st: t5.decode_step(params, config, tok, st))
+  logits, state = step(jnp.zeros((b,), jnp.int32), state)
+  assert int(state.index) == 1
+  logits2, state = step(jnp.ones((b,), jnp.int32), state)
+  assert int(state.index) == 2
+  assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+def test_dropout_changes_output_and_is_deterministic(config, params):
+  cfg = ModelConfig(**{**config.__dict__, 'dropout_rate': 0.5})
+  b, enc_len, dec_len = 2, 4, 3
+  enc_in = jnp.ones((b, enc_len, cfg.input_depth))
+  dec_in = jnp.zeros((b, dec_len), jnp.int32)
+  dec_tgt = jnp.ones((b, dec_len), jnp.int32)
+  out1 = t5.forward(params, cfg, enc_in, dec_in, dec_tgt,
+                    rng=jax.random.PRNGKey(3))
+  out2 = t5.forward(params, cfg, enc_in, dec_in, dec_tgt,
+                    rng=jax.random.PRNGKey(3))
+  out3 = t5.forward(params, cfg, enc_in, dec_in, dec_tgt,
+                    rng=jax.random.PRNGKey(4))
+  np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+  assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_decoder_bias_masks_padding_and_future():
+  targets = jnp.array([[5, 6, 0]], jnp.int32)
+  bias = layers.make_decoder_bias(targets)
+  b = np.asarray(bias)[0, 0]
+  assert b[0, 0] == 0          # self
+  assert b[0, 1] < -1e9        # future
+  assert b[1, 0] == 0          # past
+  assert b[2, 2] < -1e9        # padding position
+  assert b[1, 2] < -1e9        # padding key
+
+
+def test_sinusoidal_table_structure():
+  table = layers.sinusoidal_table(16, 8)
+  assert table.shape == (16, 8)
+  np.testing.assert_allclose(table[0, :4], np.zeros(4), atol=1e-7)
+  np.testing.assert_allclose(table[0, 4:], np.ones(4), atol=1e-7)
+  # Column 0 is sin(position) at scale 1.
+  np.testing.assert_allclose(table[:, 0], np.sin(np.arange(16)), atol=1e-5)
+
+
+def test_bfloat16_activations(config, params):
+  cfg = ModelConfig(**{**config.__dict__, 'dtype': 'bfloat16'})
+  b, enc_len, dec_len = 2, 4, 3
+  enc_in = jnp.ones((b, enc_len, cfg.input_depth))
+  dec_in = jnp.zeros((b, dec_len), jnp.int32)
+  dec_tgt = jnp.ones((b, dec_len), jnp.int32)
+  logits = t5.forward(params, cfg, enc_in, dec_in, dec_tgt)
+  assert logits.dtype == jnp.float32  # logits stay f32
+  ref = t5.forward(params, config, enc_in, dec_in, dec_tgt)
+  np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                             atol=0.1, rtol=0.1)

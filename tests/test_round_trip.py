@@ -1,0 +1,130 @@
+"""End-to-end codec round trip: notes -> tokens -> segments -> notes.
+
+Exercises the full target-encoding pipeline (encode_and_index_events, RLE,
+tie sections) against the full decoding pipeline (segment stitching with
+max_decode_time overlap resolution), with no model in the loop.
+"""
+
+import numpy as np
+import pytest
+
+from mt3_tpu.codec import note_events, run_length, vocabulary
+from mt3_tpu.core.config import VocabularyConfig
+from mt3_tpu.core.note_sequence import NoteSequence, sequences_approx_equal
+from mt3_tpu.infer import postprocess
+
+
+@pytest.fixture
+def codec():
+  return vocabulary.build_codec(VocabularyConfig(num_velocity_bins=1))
+
+
+def _example_ns():
+  ns = NoteSequence()
+  ns.add_note(pitch=60, velocity=100, start_time=0.1, end_time=2.5,
+              program=0)
+  ns.add_note(pitch=64, velocity=80, start_time=0.5, end_time=3.5,
+              program=0)
+  ns.add_note(pitch=40, velocity=90, start_time=1.0, end_time=4.0,
+              program=32)
+  ns.add_note(pitch=36, velocity=120, start_time=2.0, end_time=2.01,
+              is_drum=True)
+  ns.add_note(pitch=60, velocity=70, start_time=3.0, end_time=4.5,
+              program=0)
+  ns.total_time = 4.5
+  return ns
+
+
+def _encode_with_ties(ns, codec, frame_times):
+  times, values = (
+      note_events.note_sequence_to_onsets_and_offsets_and_programs(ns))
+  return run_length.encode_and_index_events(
+      state=note_events.NoteEncodingState(),
+      event_times=times, event_values=values,
+      encode_event_fn=note_events.note_event_data_to_events,
+      codec=codec, frame_times=frame_times,
+      encoding_state_to_events_fn=note_events.note_encoding_state_to_events)
+
+
+def test_round_trip_single_segment(codec):
+  ns = _example_ns()
+  frame_times = np.arange(0, 5.0, step=0.008)
+  events, starts, ends, state_events, state_idx = _encode_with_ties(
+      ns, codec, frame_times)
+  tie_token = codec.encode_event(note_events.Event('tie', 0))
+  features = run_length.extract_target_sequence_with_indices(
+      {'input_event_start_indices': starts,
+       'input_event_end_indices': ends,
+       'input_state_event_indices': state_idx,
+       'state_events': state_events,
+       'targets': events},
+      state_events_end_token=tie_token)
+  tokens = run_length.run_length_encode_shifts(features['targets'], codec)
+  tokens = run_length.remove_redundant_state_changes(
+      tokens, codec, ['velocity', 'program'])
+
+  predictions = [{
+      'unique_id': 0, 'raw_inputs': None, 'est_tokens': tokens,
+      'start_time': 0.0,
+  }]
+  result = postprocess.event_predictions_to_ns(
+      predictions, codec, note_events.NoteEncodingWithTiesSpec)
+  est = result['est_ns']
+  assert result['est_invalid_events'] == 0
+  assert result['est_dropped_events'] == 0
+  # Velocity is quantized to 1 bin (all -> 127); compare times/pitches.
+  got = sorted((n.pitch, round(n.start_time, 2), round(n.end_time, 2),
+                n.program, n.is_drum) for n in est.notes)
+  want = sorted((n.pitch, round(n.start_time, 2),
+                 round(max(n.end_time, n.start_time + 0.01), 2),
+                 n.program, n.is_drum) for n in ns.notes)
+  assert got == want
+
+
+def test_round_trip_multi_segment_with_ties(codec):
+  """Notes spanning segment boundaries survive via tie sections."""
+  ns = _example_ns()
+  fps = 125.0
+  frame_times = np.arange(0, 5.0, step=1 / fps)
+  (events, starts, ends, state_events, state_idx) = _encode_with_ties(
+      ns, codec, frame_times)
+  tie_token = codec.encode_event(note_events.Event('tie', 0))
+
+  # Split the frame axis into 4 segments and extract per-segment targets
+  # exactly like the training/eval pipeline does.
+  seg_frames = len(frame_times) // 4
+  predictions = []
+  for s in range(4):
+    lo, hi = s * seg_frames, (s + 1) * seg_frames
+    features = {
+        'input_event_start_indices': starts[lo:hi],
+        'input_event_end_indices': ends[lo:hi],
+        'input_state_event_indices': state_idx[lo:hi],
+        'state_events': state_events,
+        'targets': events,
+    }
+    features = run_length.extract_target_sequence_with_indices(
+        features, state_events_end_token=tie_token)
+    tokens = run_length.run_length_encode_shifts(features['targets'], codec)
+    tokens = run_length.remove_redundant_state_changes(
+        tokens, codec, ['velocity', 'program'])
+    predictions.append({
+        'unique_id': 0, 'raw_inputs': None, 'est_tokens': tokens,
+        'start_time': lo / fps,
+    })
+
+  result = postprocess.event_predictions_to_ns(
+      predictions, codec, note_events.NoteEncodingWithTiesSpec)
+  est = result['est_ns']
+  assert result['est_invalid_events'] == 0
+
+  expected = NoteSequence()
+  for n in ns.notes:
+    expected.add_note(pitch=n.pitch, velocity=127,
+                      start_time=n.start_time,
+                      end_time=max(n.end_time, n.start_time + 0.01),
+                      program=n.program, is_drum=n.is_drum)
+  # Times quantized to 10 ms steps.
+  assert sequences_approx_equal(
+      NoteSequence(notes=[n for n in expected.notes]), est,
+      time_tol=0.011)
