@@ -1,0 +1,90 @@
+"""Benchmark: audio-seconds transcribed per second per chip.
+
+Measures the BASELINE.json config #3 workload: batched sliding-window
+inference with 64 chunks of 256 frames (2.048 s audio each) per step —
+log-mel frontend + encoder + full KV-cached autoregressive decode — on the
+flagship mt3 model with randomly initialized weights (decode runs the full
+token budget actually demanded by greedy decoding; with random weights
+this is close to the worst case, since real music usually hits EOS well
+before targets_length).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the north-star target of 50x real time
+per chip (BASELINE.md: the reference publishes no benchmark numbers).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_SEC = 50.0  # north star: 50x real time per chip
+
+NUM_SEGMENTS = 64
+WARMUP_ITERS = 1
+TIMED_ITERS = 3
+
+
+def main():
+  from mt3_tpu.core import config as config_lib
+  from mt3_tpu.infer import decode
+  from mt3_tpu.models import t5
+  from mt3_tpu.ops import spectrogram
+
+  config = config_lib.mt3_config()
+  # bfloat16 activations on the accelerator.
+  model_config = config_lib.ModelConfig(
+      **{**config.model.__dict__, 'dtype': 'bfloat16'})
+  spec_config = config.spectrogram
+  run = config.run
+
+  n_devices = jax.local_device_count()
+  params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
+
+  seg_seconds = run.inputs_length / spec_config.frames_per_second
+  audio_seconds_per_iter = NUM_SEGMENTS * seg_seconds
+
+  rng = np.random.RandomState(0)
+  frames = jnp.asarray(rng.randn(
+      NUM_SEGMENTS, run.inputs_length, spec_config.hop_width
+  ).astype(np.float32))
+
+  @jax.jit
+  def transcribe(params, frames):
+    mel = spectrogram.compute_logmel(
+        spectrogram.flatten_frames(frames), spec_config)
+    encoded = t5.encode(params, model_config, mel)
+    tokens, lengths = decode.decode_tokens(
+        params, model_config, encoded, run.targets_length,
+        forbid_eos=True)
+    return tokens, lengths
+
+  # Warmup / compile.
+  for _ in range(WARMUP_ITERS):
+    tokens, lengths = transcribe(params, frames)
+    tokens.block_until_ready()
+
+  start = time.perf_counter()
+  for _ in range(TIMED_ITERS):
+    tokens, lengths = transcribe(params, frames)
+    tokens.block_until_ready()
+  elapsed = time.perf_counter() - start
+
+  seconds_per_iter = elapsed / TIMED_ITERS
+  audio_sec_per_sec = audio_seconds_per_iter / seconds_per_iter
+  per_chip = audio_sec_per_sec / max(1, n_devices)
+
+  print(json.dumps({
+      'metric': 'audio_sec_transcribed_per_sec_per_chip',
+      'value': round(per_chip, 3),
+      'unit': 'audio_s/s/chip',
+      'vs_baseline': round(per_chip / BASELINE_AUDIO_SEC_PER_SEC, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,296 @@
+"""Dataset registry: corpora configs, adapters, mixtures.
+
+Rebuild of /root/reference/mt3/datasets.py (8 corpora configs) and the
+task/mixture registry in tasks.py:241-402, without seqio/tf.data.
+
+The reference reads GCS TFRecords of serialized NoteSequence protos +
+audio.  This environment has no data egress, so the registry carries the
+corpus *metadata* (name, splits, track specs, program-lookup behavior)
+plus local-filesystem adapters:
+
+  * LocalPairsDataSource: directories of (audio.wav, *.mid) pairs — the
+    natural local layout for MAESTRO-style corpora.
+  * SyntheticDataSource: procedurally generated note sequences + rendered
+    audio, used by tests and benchmarks and as a training smoke corpus.
+
+Temperature-based mixture sampling (seqio.mixing_rate_num_examples with
+temperature 10/3, tasks.py:377-402) is reimplemented in `MixtureSource`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import wave
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mt3_tpu.codec.note_events import TrackSpec
+from mt3_tpu.core import midi_io
+from mt3_tpu.core.config import SpectrogramConfig
+from mt3_tpu.core.note_sequence import NoteSequence
+
+MIXING_TEMPERATURE = 10 / 3
+
+
+@dataclasses.dataclass
+class InferEvalSplit:
+  name: str
+  suffix: str
+  include_in_mixture: bool = True
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+  """Transcription corpus metadata (reference datasets.py:35-53)."""
+  name: str
+  train_split: str
+  train_eval_split: str
+  infer_eval_splits: Sequence[InferEvalSplit]
+  track_specs: Sequence[TrackSpec] = dataclasses.field(default_factory=list)
+  # Notes on the reference's source data, for provenance.
+  notes: str = ''
+
+
+# The eight corpora the reference registers (datasets.py:55-323).
+MAESTROV1_CONFIG = DatasetConfig(
+    name='maestrov1', train_split='train', train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation'),
+        InferEvalSplit('test', 'test', include_in_mixture=False)],
+    notes='MAESTRO v1.0.0 piano; gs://magentadata TFRecords in reference')
+
+MAESTROV3_CONFIG = DatasetConfig(
+    name='maestrov3', train_split='train', train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation'),
+        InferEvalSplit('test', 'test', include_in_mixture=False)],
+    notes='MAESTRO v3.0.0 piano')
+
+GUITARSET_CONFIG = DatasetConfig(
+    name='guitarset', train_split='train', train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation')],
+    notes='GuitarSet acoustic guitar (program 24 via lookup)')
+
+URMP_CONFIG = DatasetConfig(
+    name='urmp', train_split='train', train_eval_split='train',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('test', 'test')],
+    notes='URMP multi-instrument; per-instrument program lookup')
+
+MUSICNET_CONFIG = DatasetConfig(
+    name='musicnet', train_split='train', train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation'),
+        InferEvalSplit('test', 'test', include_in_mixture=False)],
+    notes='MusicNet classical recordings')
+
+MUSICNET_EM_CONFIG = DatasetConfig(
+    name='musicnet_em', train_split='train', train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation'),
+        InferEvalSplit('test', 'test', include_in_mixture=False)],
+    notes='MusicNet with EM-refined labels')
+
+CERBERUS4_CONFIG = DatasetConfig(
+    name='cerberus4', train_split='train',
+    train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation')],
+    track_specs=[
+        TrackSpec('bass', program=32),
+        TrackSpec('drums', is_drum=True),
+        TrackSpec('guitar', program=24),
+        TrackSpec('piano', program=0)],
+    notes='Slakh bass/drums/guitar/piano subsets mixed')
+
+SLAKH_CONFIG = DatasetConfig(
+    name='slakh', train_split='train', train_eval_split='validation',
+    infer_eval_splits=[
+        InferEvalSplit('train', 'eval_train', include_in_mixture=False),
+        InferEvalSplit('validation', 'validation'),
+        InferEvalSplit('test', 'test', include_in_mixture=False)],
+    notes='Slakh2100 multi-track synthetic mixes')
+
+ALL_DATASET_CONFIGS = {
+    cfg.name: cfg for cfg in [
+        MAESTROV1_CONFIG, MAESTROV3_CONFIG, GUITARSET_CONFIG, URMP_CONFIG,
+        MUSICNET_CONFIG, MUSICNET_EM_CONFIG, CERBERUS4_CONFIG, SLAKH_CONFIG]
+}
+
+# Datasets included in the mega mixture (tasks.py:362-365).
+MIXTURE_DATASET_NAMES = (
+    'maestrov3', 'guitarset', 'urmp', 'musicnet_em', 'cerberus4', 'slakh')
+
+
+# ---------------------------------------------------------------------------
+# Data sources
+# ---------------------------------------------------------------------------
+class DataSource:
+  """Iterable of {'sequence': NoteSequence, 'audio': float32 samples}."""
+
+  def __len__(self) -> int:
+    raise NotImplementedError
+
+  def examples(self) -> Iterator[Dict]:
+    raise NotImplementedError
+
+
+def read_wav(path: str, expected_rate: int) -> np.ndarray:
+  """Minimal WAV reader (PCM16/PCM32/float32), mono-mixed, resampled."""
+  with wave.open(path, 'rb') as w:
+    rate = w.getframerate()
+    n = w.getnframes()
+    width = w.getsampwidth()
+    channels = w.getnchannels()
+    raw = w.readframes(n)
+  if width == 2:
+    samples = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+  elif width == 4:
+    samples = np.frombuffer(raw, np.int32).astype(np.float32) / 2**31
+  else:
+    raise ValueError(f'unsupported sample width: {width}')
+  if channels > 1:
+    samples = samples.reshape(-1, channels).mean(axis=1)
+  if rate != expected_rate:
+    from scipy.signal import resample_poly
+    from math import gcd
+    g = gcd(rate, expected_rate)
+    samples = resample_poly(samples, expected_rate // g, rate // g)
+  return samples.astype(np.float32)
+
+
+class LocalPairsDataSource(DataSource):
+  """Directory of (x.wav, x.mid|x.midi) pairs, MAESTRO-style."""
+
+  def __init__(self, directory: str,
+               spectrogram_config: SpectrogramConfig = SpectrogramConfig()):
+    self.directory = directory
+    self.sample_rate = spectrogram_config.sample_rate
+    self.pairs: List[tuple] = []
+    for name in sorted(os.listdir(directory)):
+      if not name.endswith('.wav'):
+        continue
+      stem = name[:-4]
+      for ext in ('.mid', '.midi'):
+        midi_path = os.path.join(directory, stem + ext)
+        if os.path.exists(midi_path):
+          self.pairs.append((os.path.join(directory, name), midi_path))
+          break
+
+  def __len__(self):
+    return len(self.pairs)
+
+  def examples(self):
+    for wav_path, midi_path in self.pairs:
+      ns = midi_io.midi_file_to_note_sequence(midi_path)
+      ns.id = os.path.basename(wav_path)
+      audio = read_wav(wav_path, self.sample_rate)
+      yield {'sequence': ns, 'audio': audio}
+
+
+class SyntheticDataSource(DataSource):
+  """Procedural music: random note sequences + additive-sine rendering."""
+
+  def __init__(self, num_examples: int = 8, duration: float = 4.0,
+               sample_rate: int = 16000, seed: int = 0,
+               polyphony: int = 3, include_drums: bool = False,
+               programs: Sequence[int] = (0,)):
+    self.num_examples = num_examples
+    self.duration = duration
+    self.sample_rate = sample_rate
+    self.seed = seed
+    self.polyphony = polyphony
+    self.include_drums = include_drums
+    self.programs = programs
+
+  def __len__(self):
+    return self.num_examples
+
+  def _render(self, ns: NoteSequence) -> np.ndarray:
+    n = int(self.duration * self.sample_rate)
+    audio = np.zeros(n, np.float32)
+    t = np.arange(n) / self.sample_rate
+    for note in ns.notes:
+      if note.is_drum:
+        i0, i1 = int(note.start_time * self.sample_rate), int(
+            (note.start_time + 0.05) * self.sample_rate)
+        rng = np.random.RandomState(note.pitch)
+        burst = rng.randn(max(i1 - i0, 1)).astype(np.float32)
+        audio[i0:i0 + len(burst)] += 0.3 * burst * (
+            note.velocity / 127.0)
+        continue
+      freq = 440.0 * 2 ** ((note.pitch - 69) / 12.0)
+      mask = (t >= note.start_time) & (t < note.end_time)
+      seg = t[mask]
+      env = np.minimum(1.0, (seg - note.start_time) * 100)
+      env *= np.exp(-(seg - note.start_time) * 2.0)
+      audio[mask] += (note.velocity / 127.0) * env * np.sin(
+          2 * np.pi * freq * seg).astype(np.float32)
+    peak = np.max(np.abs(audio))
+    return audio / peak if peak > 0 else audio
+
+  def examples(self):
+    for i in range(self.num_examples):
+      rng = np.random.RandomState(self.seed + i)
+      ns = NoteSequence()
+      ns.id = f'synthetic-{i}'
+      time = 0.1
+      while time < self.duration - 0.3:
+        for _ in range(rng.randint(1, self.polyphony + 1)):
+          pitch = int(rng.randint(48, 84))
+          dur = float(rng.uniform(0.1, 0.8))
+          program = int(self.programs[rng.randint(len(self.programs))])
+          ns.add_note(pitch=pitch, velocity=int(rng.randint(32, 127)),
+                      start_time=round(time, 3),
+                      end_time=round(min(time + dur, self.duration), 3),
+                      program=program)
+        if self.include_drums and rng.rand() < 0.5:
+          ns.add_note(pitch=int(rng.choice([36, 38, 42])),
+                      velocity=int(rng.randint(64, 127)),
+                      start_time=round(time, 3),
+                      end_time=round(time + 0.01, 3), is_drum=True)
+        time += float(rng.uniform(0.2, 0.6))
+      ns.total_time = self.duration
+      yield {'sequence': ns, 'audio': self._render(ns)}
+
+
+class MixtureSource(DataSource):
+  """Temperature-weighted mixture over sources (tasks.py:377-402).
+
+  Sampling rate for source i is proportional to len(i)^(1/T) with
+  T = MIXING_TEMPERATURE, the seqio mixing_rate_num_examples semantics.
+  """
+
+  def __init__(self, sources: Sequence[DataSource],
+               temperature: float = MIXING_TEMPERATURE, seed: int = 0):
+    self.sources = list(sources)
+    sizes = np.array([max(len(s), 1) for s in self.sources], np.float64)
+    rates = sizes ** (1.0 / temperature)
+    self.probs = rates / rates.sum()
+    self.seed = seed
+
+  def __len__(self):
+    return sum(len(s) for s in self.sources)
+
+  def examples(self):
+    rng = np.random.RandomState(self.seed)
+    iterators = [None] * len(self.sources)
+    while True:
+      i = int(rng.choice(len(self.sources), p=self.probs))
+      if iterators[i] is None:
+        iterators[i] = self.sources[i].examples()
+      try:
+        yield next(iterators[i])
+      except StopIteration:
+        iterators[i] = self.sources[i].examples()
+        yield next(iterators[i])

@@ -25,11 +25,13 @@ Array = jax.Array
 
 @functools.partial(
     jax.jit,
-    static_argnames=('config', 'max_decode_len', 'temperature'))
+    static_argnames=('config', 'max_decode_len', 'temperature',
+                     'forbid_eos'))
 def decode_tokens(params, config: ModelConfig, encoded: Array,
                   max_decode_len: int,
                   temperature: float = 0.0,
-                  rng: Optional[Array] = None) -> Tuple[Array, Array]:
+                  rng: Optional[Array] = None,
+                  forbid_eos: bool = False) -> Tuple[Array, Array]:
   """Decode token sequences for a batch of encoded segments.
 
   Args:
@@ -67,6 +69,9 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     logits, state = t5.decode_step(params, config, token, state)
     # Never emit PAD; it is reserved for positions after EOS.
     logits = logits.at[:, PAD_ID].set(-1e10)
+    if forbid_eos:
+      # Benchmark mode: force full-length decode (worst-case throughput).
+      logits = logits.at[:, EOS_ID].set(-1e10)
     if temperature > 0.0:
       rng, sample_rng = jax.random.split(rng)
       next_token = jax.random.categorical(

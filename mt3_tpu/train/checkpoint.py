@@ -1,0 +1,147 @@
+"""Checkpoint save/restore.
+
+Replaces the t5x checkpoint machinery the reference binds via gin
+(/root/reference/mt3/gin/train.gin:129-136: save every 5000 steps, fp32)
+with orbax-backed sharded pytree checkpoints.  Restart semantics match the
+reference: dataset state is not checkpointed; training resumes from the
+latest step with fresh data-pipeline seeds.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+PyTree = Any
+
+
+def save_checkpoint(directory: str, step: int, state: PyTree) -> str:
+  """Save a train state pytree under directory/step."""
+  path = os.path.join(os.path.abspath(directory), f'checkpoint_{step}')
+  checkpointer = ocp.StandardCheckpointer()
+  checkpointer.save(path, state)
+  checkpointer.wait_until_finished()
+  return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+  if not os.path.isdir(directory):
+    return None
+  steps = []
+  for name in os.listdir(directory):
+    if name.startswith('checkpoint_'):
+      try:
+        steps.append(int(name.split('_')[-1]))
+      except ValueError:
+        continue
+  if not steps:
+    return None
+  return os.path.join(directory, f'checkpoint_{max(steps)}')
+
+
+def restore_checkpoint(path: str, target: PyTree) -> PyTree:
+  """Restore a checkpoint into the structure/shardings of `target`."""
+  checkpointer = ocp.StandardCheckpointer()
+  return checkpointer.restore(path, target)
+
+
+# ---------------------------------------------------------------------------
+# T5X published-checkpoint conversion.
+# ---------------------------------------------------------------------------
+# Mapping from t5x parameter paths (as found in published MT3 checkpoints,
+# e.g. gs://mt3/checkpoints/mt3/) to our parameter tree.  t5x DenseGeneral
+# kernels are already stored flattened 2-D (reference layers.py:406-415),
+# matching our layout, so conversion is renaming + per-layer stacking.
+#
+# t5x path template -> (our section, our leaf)
+_T5X_ENCODER_LAYER = {
+    'attention/query/kernel': ('attention', 'query'),
+    'attention/key/kernel': ('attention', 'key'),
+    'attention/value/kernel': ('attention', 'value'),
+    'attention/out/kernel': ('attention', 'out'),
+    'pre_attention_layer_norm/scale': ('pre_attention_norm',),
+    'mlp/wi_0/kernel': ('mlp', 'wi_0'),
+    'mlp/wi_1/kernel': ('mlp', 'wi_1'),
+    'mlp/wo/kernel': ('mlp', 'wo'),
+    'pre_mlp_layer_norm/scale': ('pre_mlp_norm',),
+}
+_T5X_DECODER_LAYER = {
+    'self_attention/query/kernel': ('self_attention', 'query'),
+    'self_attention/key/kernel': ('self_attention', 'key'),
+    'self_attention/value/kernel': ('self_attention', 'value'),
+    'self_attention/out/kernel': ('self_attention', 'out'),
+    'pre_self_attention_layer_norm/scale': ('pre_self_attention_norm',),
+    'encoder_decoder_attention/query/kernel': ('cross_attention', 'query'),
+    'encoder_decoder_attention/key/kernel': ('cross_attention', 'key'),
+    'encoder_decoder_attention/value/kernel': ('cross_attention', 'value'),
+    'encoder_decoder_attention/out/kernel': ('cross_attention', 'out'),
+    'pre_cross_attention_layer_norm/scale': ('pre_cross_attention_norm',),
+    'mlp/wi_0/kernel': ('mlp', 'wi_0'),
+    'mlp/wi_1/kernel': ('mlp', 'wi_1'),
+    'mlp/wo/kernel': ('mlp', 'wo'),
+    'pre_mlp_layer_norm/scale': ('pre_mlp_norm',),
+}
+
+
+def convert_t5x_param_dict(t5x_params: dict, num_encoder_layers: int,
+                           num_decoder_layers: int) -> dict:
+  """Convert a flat {t5x_path: array} dict to our parameter pytree.
+
+  `t5x_params` keys are slash-joined paths under 'target', e.g.
+  'encoder/layers_0/attention/query/kernel'.  Per-layer weights are stacked
+  along a leading layer axis to match the lax.scan layout.
+  """
+  def get(path):
+    if path not in t5x_params:
+      raise KeyError(f'missing t5x param: {path}')
+    return np.asarray(t5x_params[path])
+
+  def set_leaf(tree, key_path, value):
+    node = tree
+    for k in key_path[:-1]:
+      node = node.setdefault(k, {})
+    node[key_path[-1]] = value
+
+  def stack_layers(prefix, table, num_layers):
+    out = {}
+    collected = {tuple(ours): [] for ours in table.values()}
+    for layer in range(num_layers):
+      for t5x_rel, ours in table.items():
+        collected[tuple(ours)].append(
+            get(f'{prefix}/layers_{layer}/{t5x_rel}'))
+    for ours, arrays in collected.items():
+      set_leaf(out, ours, np.stack(arrays))
+    return out
+
+  params = {
+      'encoder': {
+          'input_proj': get('encoder/continuous_inputs_projection/kernel'),
+          'layers': stack_layers('encoder', _T5X_ENCODER_LAYER,
+                                 num_encoder_layers),
+          'norm': get('encoder/encoder_norm/scale'),
+      },
+      'decoder': {
+          'token_embed': get('decoder/token_embedder/embedding'),
+          'layers': stack_layers('decoder', _T5X_DECODER_LAYER,
+                                 num_decoder_layers),
+          'norm': get('decoder/decoder_norm/scale'),
+          'logits': get('decoder/logits_dense/kernel'),
+      },
+  }
+  return params
+
+
+def flatten_params(params: PyTree, prefix: str = '') -> dict:
+  """Flatten a nested param dict to {slash/path: leaf}."""
+  out = {}
+  for key, value in params.items():
+    path = f'{prefix}/{key}' if prefix else key
+    if isinstance(value, dict):
+      out.update(flatten_params(value, path))
+    else:
+      out[path] = value
+  return out

@@ -1,0 +1,160 @@
+"""Training driver: jit'd sharded train step, LR schedule, train state.
+
+Rebuild of the slice of the t5x Trainer MT3 uses
+(/root/reference/mt3/gin/train.gin:142-159): constant LR 1e-3 with linear
+warmup, Adafactor updates, loss from losses.py, all inside one jax.jit
+whose in/out shardings come from the ('data','model') mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mt3_tpu.core.config import ModelConfig, RunConfig
+from mt3_tpu.models import t5
+from mt3_tpu.parallel import partitioning
+from mt3_tpu.train import adafactor, losses
+
+PyTree = Any
+
+
+class TrainState(NamedTuple):
+  step: jnp.ndarray
+  params: PyTree
+  opt_state: adafactor.AdafactorState
+
+
+def create_learning_rate_fn(run: RunConfig):
+  """Constant LR with linear warmup (train.gin:153-159)."""
+  def lr(step):
+    step = jnp.asarray(step, jnp.float32)
+    warmup = jnp.minimum(1.0, step / jnp.maximum(1.0, run.warmup_steps))
+    return run.learning_rate * warmup
+  return lr
+
+
+def init_train_state(rng, model_config: ModelConfig
+                     ) -> Tuple[TrainState, PyTree]:
+  """Initialize params + optimizer state; returns (state, logical axes)."""
+  params, params_axes = t5.init_params(rng, model_config)
+  opt_state = adafactor.init(params)
+  state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                     opt_state=opt_state)
+  state_axes = TrainState(
+      step=(),
+      params=params_axes,
+      opt_state=adafactor.state_logical_axes(params, params_axes))
+  return state, state_axes
+
+
+def train_step(state: TrainState, batch: Mapping[str, jax.Array],
+               rng: jax.Array, model_config: ModelConfig,
+               run_config: RunConfig) -> Tuple[TrainState, dict]:
+  """One training step: forward, loss, grads, Adafactor update."""
+  lr_fn = create_learning_rate_fn(run_config)
+  step_rng = jax.random.fold_in(rng, state.step)
+
+  def loss_fn(params):
+    logits = t5.forward(
+        params, model_config,
+        batch['encoder_input_tokens'],
+        batch['decoder_input_tokens'],
+        batch['decoder_target_tokens'],
+        rng=step_rng if model_config.dropout_rate > 0 else None)
+    total, z_term, weight_sum = losses.cross_entropy_with_z_loss(
+        logits, batch['decoder_target_tokens'],
+        batch['decoder_loss_weights'].astype(jnp.float32),
+        label_smoothing=run_config.label_smoothing,
+        z_loss=run_config.z_loss)
+    metrics = losses.compute_metrics(
+        logits, batch['decoder_target_tokens'],
+        batch['decoder_loss_weights'].astype(jnp.float32))
+    metrics.update(loss=total / jnp.maximum(weight_sum, 1e-8),
+                   z_loss=z_term / jnp.maximum(weight_sum, 1e-8))
+    return total, metrics
+
+  (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+      state.params)
+
+  lr = lr_fn(state.step)
+  new_params, new_opt_state = adafactor.apply_updates(
+      state.params, grads, state.opt_state, lr)
+  metrics['learning_rate'] = lr
+  new_state = TrainState(step=state.step + 1, params=new_params,
+                         opt_state=new_opt_state)
+  return new_state, metrics
+
+
+@dataclasses.dataclass
+class Trainer:
+  """Holds the compiled sharded train step and the train state."""
+  model_config: ModelConfig
+  run_config: RunConfig
+  mesh: Optional[Any] = None
+  seed: int = 0
+
+  def __post_init__(self):
+    rng = jax.random.PRNGKey(self.seed)
+    self.init_rng, self.dropout_rng = jax.random.split(rng)
+    self.state, self.state_axes = init_train_state(
+        self.init_rng, self.model_config)
+
+    if self.mesh is not None:
+      is_axes = lambda x: isinstance(x, tuple) and all(
+          isinstance(e, str) for e in x)
+      state_shardings = jax.tree_util.tree_map(
+          lambda a: jax.sharding.NamedSharding(
+              self.mesh, partitioning.logical_to_spec(a)),
+          self.state_axes, is_leaf=is_axes)
+      self.state = jax.device_put(self.state, state_shardings)
+      self._step_fn = jax.jit(
+          functools.partial(train_step, model_config=self.model_config,
+                            run_config=self.run_config),
+          in_shardings=(state_shardings, None, None),
+          out_shardings=(state_shardings, None),
+          donate_argnums=(0,))
+    else:
+      self._step_fn = jax.jit(
+          functools.partial(train_step, model_config=self.model_config,
+                            run_config=self.run_config),
+          donate_argnums=(0,))
+
+  def shard_batch(self, batch):
+    if self.mesh is None:
+      return batch
+    return jax.device_put(
+        batch, partitioning.batch_shardings(self.mesh, batch))
+
+  def step(self, batch) -> dict:
+    self.state, metrics = self._step_fn(self.state,
+                                        self.shard_batch(batch),
+                                        self.dropout_rng)
+    return metrics
+
+
+def make_train_batch(rng: np.random.RandomState, batch_size: int,
+                     inputs_length: int, targets_length: int,
+                     input_depth: int, vocab_size: int) -> dict:
+  """Random batch with the training feature layout, for tests/benchmarks.
+
+  Feature names follow the model-feature contract of the reference feature
+  converter (models.py:48-98).
+  """
+  targets = rng.randint(3, vocab_size,
+                        size=(batch_size, targets_length)).astype(np.int32)
+  # Autoregressive shift: input i attends target i-1; BOS = 0.
+  dec_inputs = np.concatenate(
+      [np.zeros((batch_size, 1), np.int32), targets[:, :-1]], axis=1)
+  return {
+      'encoder_input_tokens': rng.randn(
+          batch_size, inputs_length, input_depth).astype(np.float32),
+      'decoder_target_tokens': targets,
+      'decoder_input_tokens': dec_inputs,
+      'decoder_loss_weights': (targets > 0).astype(np.int32),
+  }

@@ -1,0 +1,129 @@
+"""Training tests: loss decreases, Adafactor semantics, sharded step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mt3_tpu.core.config import ModelConfig, RunConfig
+from mt3_tpu.parallel import partitioning
+from mt3_tpu.train import adafactor, losses, trainer
+
+
+@pytest.fixture(scope='module')
+def model_config():
+  return ModelConfig(
+      vocab_size=128, emb_dim=32, num_heads=4, num_encoder_layers=2,
+      num_decoder_layers=2, head_dim=8, mlp_dim=64,
+      mlp_activations=('gelu', 'linear'), dropout_rate=0.0,
+      input_depth=16, max_positions=64)
+
+
+@pytest.fixture(scope='module')
+def run_config():
+  return RunConfig(inputs_length=8, targets_length=12, batch_size=4,
+                   learning_rate=3e-3, warmup_steps=2, z_loss=1e-4)
+
+
+def test_cross_entropy_basics():
+  logits = jnp.zeros((1, 3, 10))
+  targets = jnp.array([[1, 2, 0]])
+  weights = jnp.array([[1.0, 1.0, 0.0]])
+  total, z_term, wsum = losses.cross_entropy_with_z_loss(
+      logits, targets, weights)
+  # Uniform logits -> CE = log(10) per weighted token.
+  np.testing.assert_allclose(float(total), 2 * np.log(10), rtol=1e-5)
+  assert float(wsum) == 2.0
+  assert float(z_term) == 0.0
+
+
+def test_z_loss_positive():
+  logits = jnp.ones((1, 2, 8)) * 3.0
+  targets = jnp.array([[1, 2]])
+  weights = jnp.ones((1, 2))
+  _, z_term, _ = losses.cross_entropy_with_z_loss(
+      logits, targets, weights, z_loss=1e-4)
+  # log Z = 3 + log(8) > 0 -> positive penalty.
+  assert float(z_term) > 0
+
+
+def test_adafactor_factored_shapes():
+  params = {'big': jnp.ones((256, 512)), 'small': jnp.ones((16,)),
+            'stacked_norm': jnp.ones((8, 256))}
+  state = adafactor.init(params)
+  assert state.v_row['big'].shape == (256,)
+  assert state.v_col['big'].shape == (512,)
+  assert state.v_full['big'].shape == (1,)      # factored placeholder
+  assert state.v_full['small'].shape == (16,)
+  # [layers, emb] norm stacks must NOT factor.
+  assert state.v_full['stacked_norm'].shape == (8, 256)
+
+
+def test_adafactor_reduces_loss_on_quadratic():
+  """Minimize ||Wx - y||^2; Adafactor should make steady progress."""
+  rng = np.random.RandomState(0)
+  w = jnp.asarray(rng.randn(256, 256).astype(np.float32))
+  x = jnp.asarray(rng.randn(256, 32).astype(np.float32))
+  y = jnp.asarray(rng.randn(256, 32).astype(np.float32))
+  params = {'w': w}
+  state = adafactor.init(params)
+
+  def loss(p):
+    return jnp.mean(jnp.square(p['w'] @ x - y))
+
+  l0 = float(loss(params))
+  for _ in range(50):
+    grads = jax.grad(loss)(params)
+    params, state = adafactor.apply_updates(
+        params, grads, state, learning_rate=jnp.float32(0.05))
+  assert float(loss(params)) < 0.5 * l0
+  assert int(state.step) == 50
+
+
+def test_train_step_reduces_loss(model_config, run_config):
+  tr = trainer.Trainer(model_config=model_config, run_config=run_config)
+  rng = np.random.RandomState(0)
+  batch = trainer.make_train_batch(
+      rng, run_config.batch_size, run_config.inputs_length,
+      run_config.targets_length, model_config.input_depth,
+      model_config.vocab_size)
+  metrics0 = tr.step(batch)
+  for _ in range(30):
+    metrics = tr.step(batch)
+  # Memorizing one small batch must drive the loss down sharply.
+  assert float(metrics['loss']) < 0.5 * float(metrics0['loss'])
+  assert float(metrics['accuracy']) > 0.5
+  assert int(tr.state.step) == 31
+
+
+def test_train_step_sharded_8_devices(model_config, run_config):
+  assert len(jax.devices()) == 8
+  mesh = partitioning.make_mesh(num_model_partitions=2)
+  assert mesh.shape == {'data': 4, 'model': 2}
+  tr = trainer.Trainer(model_config=model_config, run_config=run_config,
+                       mesh=mesh)
+  rng = np.random.RandomState(0)
+  batch = trainer.make_train_batch(
+      rng, 8, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  m1 = tr.step(batch)
+  assert np.isfinite(float(m1['loss']))
+  for _ in range(5):
+    m = tr.step(batch)
+  assert float(m['loss']) < float(m1['loss'])
+
+  # Replicated single-device reference: same initialization seed -> nearly
+  # identical loss trajectory.
+  tr_ref = trainer.Trainer(model_config=model_config,
+                           run_config=run_config)
+  r1 = tr_ref.step(batch)
+  np.testing.assert_allclose(float(m1['loss']), float(r1['loss']),
+                             rtol=1e-3)
+
+
+def test_learning_rate_warmup(run_config):
+  lr_fn = trainer.create_learning_rate_fn(run_config)
+  assert float(lr_fn(0)) == 0.0
+  assert float(lr_fn(1)) == pytest.approx(run_config.learning_rate / 2)
+  assert float(lr_fn(2)) == pytest.approx(run_config.learning_rate)
+  assert float(lr_fn(100)) == pytest.approx(run_config.learning_rate)
