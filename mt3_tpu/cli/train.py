@@ -1,0 +1,116 @@
+"""CLI: train a model.
+
+Usage:
+  python -m mt3_tpu.cli.train --model tiny --data synthetic --steps 100
+
+Rebuild of the t5x train binary flow (reference gin/train.gin) with
+dataclass configs instead of gin: dataset -> pipeline -> jit'd sharded
+train step -> periodic checkpoint + eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description='Train a transcription model')
+  parser.add_argument('--model', default='tiny',
+                      choices=['mt3', 'ismir2021', 'tiny'])
+  parser.add_argument('--data', default='synthetic',
+                      help="'synthetic' or a directory of wav+midi pairs")
+  parser.add_argument('--steps', type=int, default=None)
+  parser.add_argument('--batch_size', type=int, default=None)
+  parser.add_argument('--checkpoint_dir', default=None)
+  parser.add_argument('--checkpoint_period', type=int, default=None)
+  parser.add_argument('--num_model_partitions', type=int, default=1)
+  parser.add_argument('--log_every', type=int, default=10)
+  parser.add_argument('--seed', type=int, default=0)
+  args = parser.parse_args(argv)
+
+  import jax
+  from mt3_tpu.codec import vocabulary
+  from mt3_tpu.core import config as config_lib
+  from mt3_tpu.data import datasets, pipeline
+  from mt3_tpu.parallel import partitioning
+  from mt3_tpu.train import checkpoint as ckpt_lib
+  from mt3_tpu.train import trainer as trainer_lib
+
+  config = config_lib.CONFIG_FACTORIES[args.model]()
+  run = config.run
+  steps = args.steps if args.steps is not None else run.train_steps
+  batch_size = args.batch_size or run.batch_size
+
+  codec = vocabulary.build_codec(config.vocab)
+  vocab = vocabulary.vocabulary_from_codec(codec)
+
+  if args.data == 'synthetic':
+    source = datasets.SyntheticDataSource(
+        num_examples=8, duration=4.0,
+        sample_rate=config.spectrogram.sample_rate, seed=args.seed)
+  else:
+    source = datasets.LocalPairsDataSource(args.data, config.spectrogram)
+  print(f'dataset: {len(source)} examples', file=sys.stderr)
+
+  pipe_cfg = pipeline.TrainPipelineConfig(
+      inputs_length=run.inputs_length, targets_length=run.targets_length,
+      batch_size=batch_size, onsets_only=run.onsets_only,
+      include_ties=run.use_ties,
+      program_granularity=run.program_granularity, seed=args.seed)
+  batches = pipeline.train_batches(
+      source.examples(), config.spectrogram, codec, vocab, pipe_cfg)
+
+  mesh = None
+  if len(jax.devices()) > 1:
+    mesh = partitioning.make_mesh(args.num_model_partitions)
+    print(f'mesh: {dict(mesh.shape)}', file=sys.stderr)
+
+  tr = trainer_lib.Trainer(model_config=config.model, run_config=run,
+                           mesh=mesh, seed=args.seed)
+
+  from mt3_tpu.ops import spectrogram as spec_lib
+  import jax.numpy as jnp
+
+  spec_config = config.spectrogram
+
+  # The spectrogram runs inside the jitted step: convert raw audio frames
+  # to encoder inputs on device.
+  def to_model_batch(batch):
+    return {
+        'encoder_input_tokens': spec_lib.frames_to_logmel(
+            jnp.asarray(batch['encoder_input_frames']), spec_config),
+        'decoder_target_tokens': batch['decoder_target_tokens'],
+        'decoder_input_tokens': batch['decoder_input_tokens'],
+        'decoder_loss_weights': batch['decoder_loss_weights'],
+    }
+
+  ckpt_period = args.checkpoint_period or run.checkpoint_period
+  start = time.time()
+  for step in range(steps):
+    batch = to_model_batch(next(batches))
+    metrics = tr.step(batch)
+    if step % args.log_every == 0 or step == steps - 1:
+      elapsed = time.time() - start
+      print(f'step {step}: loss={float(metrics["loss"]):.4f} '
+            f'acc={float(metrics["accuracy"]):.3f} '
+            f'lr={float(metrics["learning_rate"]):.2e} '
+            f'({(step + 1) / max(elapsed, 1e-9):.2f} steps/s)',
+            file=sys.stderr)
+    if args.checkpoint_dir and (step + 1) % ckpt_period == 0:
+      path = ckpt_lib.save_checkpoint(
+          args.checkpoint_dir, step + 1,
+          {'params': tr.state.params})
+      print(f'saved checkpoint: {path}', file=sys.stderr)
+
+  if args.checkpoint_dir:
+    path = ckpt_lib.save_checkpoint(args.checkpoint_dir, steps,
+                                    {'params': tr.state.params})
+    print(f'saved final checkpoint: {path}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,76 @@
+"""CLI: transcribe audio files to MIDI.
+
+Usage:
+  python -m mt3_tpu.cli.transcribe --model mt3 --checkpoint DIR \
+      input1.wav [input2.wav ...] --output_dir out/
+
+Rebuild of the reference colab inference entry point
+(music_transcription_with_transformers.ipynb) as a command-line tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description='Audio -> MIDI transcription')
+  parser.add_argument('inputs', nargs='+', help='input .wav files')
+  parser.add_argument('--model', default='mt3',
+                      choices=['mt3', 'ismir2021', 'tiny'])
+  parser.add_argument('--checkpoint', default=None,
+                      help='checkpoint directory (latest step used)')
+  parser.add_argument('--output_dir', default='.')
+  parser.add_argument('--temperature', type=float, default=0.0)
+  args = parser.parse_args(argv)
+
+  from mt3_tpu.core import config as config_lib
+  from mt3_tpu.core import midi_io
+  from mt3_tpu.data.datasets import read_wav
+  from mt3_tpu.infer import transcribe as transcribe_lib
+  from mt3_tpu.models import t5
+  from mt3_tpu.train import checkpoint as ckpt_lib
+
+  config = config_lib.CONFIG_FACTORIES[args.model]()
+  model_config = config_lib.ModelConfig(
+      **{**config.model.__dict__, 'dtype': 'bfloat16'})
+  config = config_lib.MT3Config(
+      config.name, config.spectrogram, config.vocab, model_config,
+      config.run)
+
+  params, _ = t5.init_params(jax.random.PRNGKey(0), config.model)
+  if args.checkpoint:
+    path = ckpt_lib.latest_checkpoint(args.checkpoint) or args.checkpoint
+    print(f'restoring checkpoint from {path}', file=sys.stderr)
+    state = ckpt_lib.restore_checkpoint(path, {'params': params})
+    params = state['params']
+  else:
+    print('WARNING: no checkpoint given; using random weights',
+          file=sys.stderr)
+
+  transcriber = transcribe_lib.Transcriber(config, params,
+                                           temperature=args.temperature)
+  os.makedirs(args.output_dir, exist_ok=True)
+  for path in args.inputs:
+    audio = read_wav(path, config.spectrogram.sample_rate)
+    start = time.time()
+    ns = transcriber(audio)
+    elapsed = time.time() - start
+    out_path = os.path.join(
+        args.output_dir,
+        os.path.splitext(os.path.basename(path))[0] + '.mid')
+    midi_io.note_sequence_to_midi_file(ns, out_path)
+    audio_sec = len(audio) / config.spectrogram.sample_rate
+    print(f'{path}: {audio_sec:.1f}s audio, {len(ns.notes)} notes, '
+          f'{elapsed:.1f}s ({audio_sec / max(elapsed, 1e-9):.1f}x RT) '
+          f'-> {out_path}')
+
+
+if __name__ == '__main__':
+  main()

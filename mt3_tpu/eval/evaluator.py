@@ -1,0 +1,70 @@
+"""Evaluation driver: run chunked inference over a dataset, score it.
+
+Rebuild of the seqio.Evaluator flow the reference binds in
+gin/train.gin:89-97 / gin/eval.gin:50-56: for each eval example, tile the
+audio into segments, predict tokens for every segment, combine per
+example, and feed the transcription metric family.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from mt3_tpu.core.config import MT3Config
+from mt3_tpu.eval import metrics as metrics_lib
+from mt3_tpu.infer import postprocess, transcribe
+
+
+def evaluate_dataset(
+    examples: Iterable[Dict],
+    transcriber: transcribe.Transcriber,
+    track_specs=None,
+) -> Dict[str, float]:
+  """Transcribe and score an iterable of {'sequence', 'audio'} examples."""
+  config: MT3Config = transcriber.config
+  codec = transcriber.codec
+  targets = []
+  predictions = []
+
+  for unique_id, example in enumerate(examples):
+    targets.append({'unique_id': unique_id,
+                    'ref_ns': example['sequence']})
+    for batch in transcribe.audio_to_segments(example['audio'], config):
+      import jax
+      tokens, _ = transcribe._transcribe_batch(
+          transcriber.params, config.model, config.spectrogram,
+          np.asarray(batch.frames), config.run.targets_length,
+          transcriber.temperature, jax.random.PRNGKey(unique_id))
+      decoded = transcriber.vocab.decode_array(np.asarray(tokens))
+      for row, start_time, valid in zip(decoded, batch.start_times,
+                                        batch.valid):
+        if not valid:
+          continue
+        pred = postprocess.postprocess_prediction(
+            row, start_time, codec,
+            raw_inputs=np.zeros((0,), np.float32), unique_id=unique_id)
+        predictions.append(pred)
+
+  return metrics_lib.transcription_metrics(
+      targets, predictions, codec=codec,
+      onsets_only=config.run.onsets_only,
+      use_ties=config.run.use_ties,
+      track_specs=track_specs)
+
+
+def write_metrics(scores: Dict[str, float], path: Optional[str] = None,
+                  step: Optional[int] = None) -> str:
+  """Write metrics as a JSON line (the reference's JSON logger analog)."""
+  record = {'timestamp': time.time()}
+  if step is not None:
+    record['step'] = step
+  record.update({k: float(v) for k, v in scores.items()})
+  line = json.dumps(record)
+  if path:
+    with open(path, 'a') as f:
+      f.write(line + '\n')
+  return line

@@ -1,0 +1,203 @@
+"""Data pipeline tests + the end-to-end overfit integration test."""
+
+import numpy as np
+import pytest
+
+from mt3_tpu.codec import vocabulary
+from mt3_tpu.core.config import (ModelConfig, RunConfig, SpectrogramConfig,
+                                 VocabularyConfig)
+from mt3_tpu.data import datasets, mixing, pipeline
+
+
+@pytest.fixture(scope='module')
+def spec_config():
+  return SpectrogramConfig()
+
+
+@pytest.fixture(scope='module')
+def codec():
+  return vocabulary.build_codec(VocabularyConfig(num_velocity_bins=1))
+
+
+@pytest.fixture(scope='module')
+def vocab(codec):
+  return vocabulary.vocabulary_from_codec(codec)
+
+
+@pytest.fixture(scope='module')
+def example(spec_config, codec):
+  source = datasets.SyntheticDataSource(num_examples=1, duration=3.0,
+                                        seed=7)
+  ex = next(source.examples())
+  return pipeline.tokenize_example(ex['sequence'], ex['audio'],
+                                   spec_config, codec)
+
+
+def test_tokenize_example_shapes(example, spec_config):
+  n_frames = len(example['inputs'])
+  assert example['inputs'].shape == (n_frames, spec_config.hop_width)
+  assert len(example['input_times']) == n_frames
+  assert len(example['input_event_start_indices']) == n_frames
+  assert len(example['input_event_end_indices']) == n_frames
+  # end[i] == start[i+1] (reference encode_and_index_events contract).
+  np.testing.assert_array_equal(example['input_event_end_indices'][:-1],
+                                example['input_event_start_indices'][1:])
+
+
+def test_split_tokens(example):
+  chunks = pipeline.split_tokens(example, max_tokens=100)
+  assert sum(len(c['inputs']) for c in chunks) == len(example['inputs'])
+  assert all(len(c['inputs']) <= 100 for c in chunks)
+  # Passthrough features untouched.
+  assert all(len(c['targets']) == len(example['targets']) for c in chunks)
+
+
+def test_select_random_chunk(example):
+  rng = np.random.RandomState(0)
+  chunk = pipeline.select_random_chunk(example, 50, rng)
+  assert len(chunk['inputs']) == 50
+  assert len(chunk['input_event_start_indices']) == 50
+
+
+def test_prepare_train_example(example, codec, vocab):
+  rng = np.random.RandomState(0)
+  ex = pipeline.prepare_train_example(
+      example, codec, vocab, inputs_length=128, targets_length=512,
+      rng=rng)
+  assert ex is not None
+  assert ex['encoder_input_frames'].shape == (128, 128)
+  assert ex['decoder_target_tokens'].shape == (512,)
+  # EOS present, decoder inputs are shifted targets.
+  targets = ex['decoder_target_tokens']
+  n = int((targets > 0).sum())
+  assert targets[n - 1] == vocab.eos_id
+  np.testing.assert_array_equal(ex['decoder_input_tokens'][1:n],
+                                targets[:n - 1])
+  assert ex['decoder_input_tokens'][0] == 0
+
+
+def test_train_batches_iterator(spec_config, codec, vocab):
+  source = datasets.SyntheticDataSource(num_examples=2, duration=2.0,
+                                        seed=3)
+  cfg = pipeline.TrainPipelineConfig(
+      inputs_length=64, targets_length=384, batch_size=3)
+  it = pipeline.train_batches(source.examples(), spec_config, codec,
+                              vocab, cfg)
+  batch = next(it)
+  assert batch['encoder_input_frames'].shape == (3, 64, 128)
+  assert batch['decoder_target_tokens'].shape == (3, 384)
+  batch2 = next(it)
+  assert not np.array_equal(batch['encoder_input_frames'],
+                            batch2['encoder_input_frames'])
+
+
+def test_mixing(codec):
+  ex1 = {'inputs': np.ones(100, np.float32),
+         'targets': np.array([3, 161, 162, 5, 163], np.int32)}
+  ex2 = {'inputs': 0.5 * np.ones(80, np.float32),
+         'targets': np.array([160, 164, 3, 165], np.int32)}
+  mixed = mixing.mix_examples([ex1, ex2], codec)
+  assert mixed['inputs'].shape == (100,)
+  assert np.max(np.abs(mixed['inputs'])) == pytest.approx(1.0)
+  assert len(mixed['targets']) > 0
+
+
+def test_mixture_source_rates():
+  a = datasets.SyntheticDataSource(num_examples=8, duration=0.5, seed=0)
+  b = datasets.SyntheticDataSource(num_examples=1, duration=0.5, seed=1)
+  mix = datasets.MixtureSource([a, b], temperature=10 / 3)
+  # rate ratio = (8/1)^(3/10) ~ 1.87
+  assert mix.probs[0] / mix.probs[1] == pytest.approx(8 ** 0.3, rel=1e-6)
+  it = mix.examples()
+  for _ in range(5):
+    ex = next(it)
+    assert 'sequence' in ex and 'audio' in ex
+
+
+def test_local_pairs_round_trip(tmp_path, spec_config):
+  import wave
+  from mt3_tpu.core import midi_io
+  from mt3_tpu.core.note_sequence import NoteSequence
+  ns = NoteSequence()
+  ns.add_note(pitch=60, velocity=90, start_time=0.1, end_time=0.4)
+  ns.total_time = 0.5
+  midi_io.note_sequence_to_midi_file(ns, str(tmp_path / 'x.mid'))
+  samples = (np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)) * 0.5
+             * 32767).astype(np.int16)
+  with wave.open(str(tmp_path / 'x.wav'), 'wb') as w:
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes(samples.tobytes())
+  source = datasets.LocalPairsDataSource(str(tmp_path), spec_config)
+  assert len(source) == 1
+  ex = next(source.examples())
+  assert len(ex['sequence'].notes) == 1
+  assert ex['audio'].shape == (8000,)
+
+
+def test_overfit_and_transcribe_end_to_end(spec_config):
+  """Train a tiny model to memorize one clip, then transcribe it back.
+
+  The full loop: synthetic audio -> pipeline -> train step (spectrogram
+  on device) -> KV-cached decode -> stitching -> note F1.
+  """
+  import jax
+  from mt3_tpu.core.config import MT3Config
+  from mt3_tpu.core.note_sequence import sequence_to_valued_intervals
+  from mt3_tpu.eval import transcription
+  from mt3_tpu.infer import transcribe as transcribe_lib
+  from mt3_tpu.ops import spectrogram as spec_lib
+  from mt3_tpu.train import trainer as trainer_lib
+
+  vocab_config = VocabularyConfig(num_velocity_bins=1)
+  codec = vocabulary.build_codec(vocab_config)
+  vocab = vocabulary.vocabulary_from_codec(codec)
+  model_config = ModelConfig(
+      vocab_size=vocabulary.num_embeddings(vocab), emb_dim=128,
+      num_heads=4, num_encoder_layers=2, num_decoder_layers=2, head_dim=16,
+      mlp_dim=256, dropout_rate=0.0, input_depth=512, max_positions=512)
+  run_config = RunConfig(inputs_length=256, targets_length=160,
+                         batch_size=4, learning_rate=3e-3,
+                         warmup_steps=10, use_ties=True)
+
+  source = datasets.SyntheticDataSource(num_examples=1, duration=2.0,
+                                        seed=11, polyphony=1)
+  example = next(source.examples())
+
+  pipe_cfg = pipeline.TrainPipelineConfig(
+      inputs_length=run_config.inputs_length,
+      targets_length=run_config.targets_length,
+      batch_size=run_config.batch_size)
+  batches = pipeline.train_batches([example], spec_config, codec, vocab,
+                                   pipe_cfg)
+
+  tr = trainer_lib.Trainer(model_config=model_config,
+                           run_config=run_config)
+
+  def to_model_batch(batch):
+    return {
+        'encoder_input_tokens': np.asarray(spec_lib.frames_to_logmel(
+            batch['encoder_input_frames'], spec_config)),
+        'decoder_target_tokens': batch['decoder_target_tokens'],
+        'decoder_input_tokens': batch['decoder_input_tokens'],
+        'decoder_loss_weights': batch['decoder_loss_weights'],
+    }
+
+  batch = to_model_batch(next(batches))
+  for step in range(150):
+    metrics = tr.step(batch)
+  assert float(metrics['accuracy']) > 0.9, float(metrics['accuracy'])
+
+  config = MT3Config('test', spec_config, vocab_config, model_config,
+                     run_config)
+  transcriber = transcribe_lib.Transcriber(config, tr.state.params)
+  est_ns = transcriber(example['audio'])
+
+  ref_intervals, ref_pitches, _ = sequence_to_valued_intervals(
+      example['sequence'])
+  est_intervals, est_pitches, _ = sequence_to_valued_intervals(est_ns)
+  _, _, f1, _ = transcription.precision_recall_f1_overlap(
+      ref_intervals, ref_pitches, est_intervals, est_pitches,
+      offset_ratio=None)
+  assert f1 > 0.8, f'onset F1 too low after overfit: {f1}'
