@@ -63,15 +63,16 @@ def main():
         forbid_eos=True)
     return tokens, lengths
 
-  # Warmup / compile.
+  # Warmup / compile.  Fetch results to host: on the tunneled platform
+  # block_until_ready alone does not reliably synchronize.
   for _ in range(WARMUP_ITERS):
     tokens, lengths = transcribe(params, frames)
-    tokens.block_until_ready()
+    np.asarray(tokens)
 
   start = time.perf_counter()
   for _ in range(TIMED_ITERS):
     tokens, lengths = transcribe(params, frames)
-    tokens.block_until_ready()
+    np.asarray(tokens)
   elapsed = time.perf_counter() - start
 
   seconds_per_iter = elapsed / TIMED_ITERS

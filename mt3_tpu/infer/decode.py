@@ -2,10 +2,22 @@
 
 Replaces the t5x.decoding dependency (reference models.py:127 uses
 t5x.decoding.beam_search; the colab path uses greedy/temperature sampling
-inside predict_batch_with_aux).  The whole decode runs in a single
-jax.lax.while_loop with per-batch EOS early exit: once every sequence in
-the batch has emitted EOS the loop stops, so wall-clock tracks the longest
-actual event stream in the batch instead of the 1024-token ceiling.
+inside predict_batch_with_aux).
+
+Performance design (decode is HBM-bandwidth-bound on cache reads):
+
+  * Bucketed cache growth: decoding runs in stages whose self-attention
+    cache is sized 128, 256, ..., max_decode_len.  Within a stage a
+    jax.lax.while_loop advances one token at a time reading only the
+    stage-sized cache, so attention read traffic scales with the live
+    prefix instead of the full token budget (~1.8x less traffic at full
+    length, far less when sequences end early).
+  * Per-batch EOS early exit: every stage's while_loop stops as soon as
+    all sequences have emitted EOS, and later stages then exit
+    immediately — wall-clock tracks the longest actual event stream.
+  * Cache updates are dynamic_update_slice (in-place on the loop carry),
+    writing O(heads*head_dim) bytes per step rather than rewriting the
+    cache (see layers.KVCache).
 """
 
 from __future__ import annotations
@@ -18,20 +30,23 @@ import jax.numpy as jnp
 
 from mt3_tpu.codec.vocabulary import EOS_ID, PAD_ID
 from mt3_tpu.core.config import ModelConfig
-from mt3_tpu.models import t5
+from mt3_tpu.models import layers, t5
 
 Array = jax.Array
+
+BUCKET_SIZE = 128
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('config', 'max_decode_len', 'temperature',
-                     'forbid_eos'))
+                     'forbid_eos', 'bucket_size'))
 def decode_tokens(params, config: ModelConfig, encoded: Array,
                   max_decode_len: int,
                   temperature: float = 0.0,
                   rng: Optional[Array] = None,
-                  forbid_eos: bool = False) -> Tuple[Array, Array]:
+                  forbid_eos: bool = False,
+                  bucket_size: int = BUCKET_SIZE) -> Tuple[Array, Array]:
   """Decode token sequences for a batch of encoded segments.
 
   Args:
@@ -41,28 +56,23 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     max_decode_len: maximum tokens to emit per sequence.
     temperature: 0.0 for greedy argmax, >0 for temperature sampling.
     rng: PRNGKey, required when temperature > 0.
+    forbid_eos: benchmark mode — never emit EOS (forces full length).
+    bucket_size: cache-growth granularity.
 
   Returns:
     (tokens [b, max_decode_len] int32 with PAD after EOS,
      lengths [b] int32 — emitted tokens per sequence including EOS).
   """
   b = encoded.shape[0]
-  state = t5.init_decode_state(params, config, encoded, max_decode_len)
   if rng is None:
     rng = jax.random.PRNGKey(0)
 
-  init = (
-      jnp.zeros((b,), jnp.int32),                    # previous token (BOS=0)
-      state,
-      jnp.full((b, max_decode_len), PAD_ID, jnp.int32),  # output buffer
-      jnp.zeros((b,), jnp.bool_),                    # done flags
-      jnp.array(0, jnp.int32),                       # step
-      rng,
-  )
+  state = t5.init_decode_state(params, config, encoded,
+                               min(bucket_size, max_decode_len))
 
-  def cond(carry):
-    _, _, _, done, step, _ = carry
-    return jnp.logical_and(step < max_decode_len, ~jnp.all(done))
+  buf = jnp.full((b, max_decode_len), PAD_ID, jnp.int32)
+  token = jnp.zeros((b,), jnp.int32)
+  done = jnp.zeros((b,), jnp.bool_)
 
   def body(carry):
     token, state, buf, done, step, rng = carry
@@ -70,7 +80,6 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     # Never emit PAD; it is reserved for positions after EOS.
     logits = logits.at[:, PAD_ID].set(-1e10)
     if forbid_eos:
-      # Benchmark mode: force full-length decode (worst-case throughput).
       logits = logits.at[:, EOS_ID].set(-1e10)
     if temperature > 0.0:
       rng, sample_rng = jax.random.split(rng)
@@ -84,8 +93,24 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     done = jnp.logical_or(done, next_token == EOS_ID)
     return (next_token, state, buf, done, step + 1, rng)
 
-  _, _, buf, done, steps, _ = jax.lax.while_loop(cond, body, init)
-  del done, steps
+  step = jnp.array(0, jnp.int32)
+  for bucket_end in range(bucket_size, max_decode_len + bucket_size,
+                          bucket_size):
+    bucket_end = min(bucket_end, max_decode_len)
+    state = t5.DecodeState(
+        cache=layers.grow_kv_cache(state.cache, bucket_end),
+        cross_k=state.cross_k, cross_v=state.cross_v, index=state.index)
+
+    def cond(carry, _bucket_end=bucket_end):
+      _, _, _, done, step, _ = carry
+      return jnp.logical_and(step < _bucket_end, ~jnp.all(done))
+
+    carry = (token, state, buf, done, step, rng)
+    token, state, buf, done, step, rng = jax.lax.while_loop(
+        cond, body, carry)
+    if bucket_end == max_decode_len:
+      break
+
   # Length = index of EOS + 1, or max_decode_len if no EOS.
   has_eos = jnp.any(buf == EOS_ID, axis=-1)
   eos_pos = jnp.argmax(buf == EOS_ID, axis=-1)

@@ -1,0 +1,401 @@
+// Native data-runtime: TFRecord reader + tf.train.Example parser.
+//
+// The reference's data pipeline rides tf.data's C++ kernels for record
+// IO and proto decode (its datasets are TFRecords of tf.train.Example,
+// /root/reference/mt3/datasets.py:55-323).  This is the standalone
+// equivalent: a zero-dependency TFRecord stream reader with CRC32C
+// validation and a minimal protobuf wire-format parser for Example
+// messages, exposed through a C ABI consumed via ctypes
+// (mt3_tpu/data/tfrecord.py).
+//
+// TFRecord framing: {uint64 length, uint32 masked_crc32c(length),
+//                    bytes data[length], uint32 masked_crc32c(data)}.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// CRC32C (Castagnoli), table-driven, with the TFRecord mask.
+// ---------------------------------------------------------------------
+uint32_t g_crc_table[256];
+bool g_crc_init = false;
+
+void crc_init() {
+  if (g_crc_init) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) {
+      c = (c & 1) ? (0x82F63B78u ^ (c >> 1)) : (c >> 1);
+    }
+    g_crc_table[i] = c;
+  }
+  g_crc_init = true;
+}
+
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  crc_init();
+  uint32_t c = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; i++) {
+    c = g_crc_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+  }
+  return c ^ 0xFFFFFFFFu;
+}
+
+uint32_t masked_crc(const uint8_t* data, size_t n) {
+  uint32_t crc = crc32c(data, n);
+  return ((crc >> 15) | (crc << 17)) + 0xa282ead8u;
+}
+
+// ---------------------------------------------------------------------
+// TFRecord stream
+// ---------------------------------------------------------------------
+struct Reader {
+  FILE* file = nullptr;
+  std::vector<uint8_t> buffer;
+  bool check_crc = true;
+  uint64_t records_read = 0;
+};
+
+// ---------------------------------------------------------------------
+// Protobuf wire format
+// ---------------------------------------------------------------------
+struct Slice {
+  const uint8_t* data;
+  size_t len;
+};
+
+bool read_varint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t b = *p++;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+// Skip a field with the given wire type; returns false on malformed input.
+bool skip_field(const uint8_t*& p, const uint8_t* end, uint32_t wire_type) {
+  uint64_t tmp;
+  switch (wire_type) {
+    case 0: return read_varint(p, end, &tmp);
+    case 1: if (end - p < 8) return false; p += 8; return true;
+    case 2:
+      if (!read_varint(p, end, &tmp) ||
+          static_cast<uint64_t>(end - p) < tmp) return false;
+      p += tmp;
+      return true;
+    case 5: if (end - p < 4) return false; p += 4; return true;
+    default: return false;
+  }
+}
+
+bool read_length_delimited(const uint8_t*& p, const uint8_t* end,
+                           Slice* out) {
+  uint64_t len;
+  if (!read_varint(p, end, &len) ||
+      static_cast<uint64_t>(end - p) < len) return false;
+  out->data = p;
+  out->len = static_cast<size_t>(len);
+  p += len;
+  return true;
+}
+
+// Parsed tf.train.Feature value.
+struct FeatureValue {
+  int type = 0;  // 0 none, 1 bytes, 2 float, 3 int64
+  std::vector<Slice> bytes_values;
+  std::vector<float> float_values;
+  std::vector<int64_t> int64_values;
+};
+
+struct ParsedExample {
+  // Backing store for the record bytes (slices point into it).
+  std::vector<uint8_t> storage;
+  std::map<std::string, FeatureValue> features;
+};
+
+// Parse a BytesList / FloatList / Int64List submessage.
+bool parse_value_list(Slice list, int kind, FeatureValue* out) {
+  const uint8_t* p = list.data;
+  const uint8_t* end = list.data + list.len;
+  out->type = kind;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    uint32_t field = static_cast<uint32_t>(tag >> 3);
+    uint32_t wire = static_cast<uint32_t>(tag & 7);
+    if (field != 1) {
+      if (!skip_field(p, end, wire)) return false;
+      continue;
+    }
+    if (kind == 1) {  // BytesList.value: repeated bytes
+      Slice s;
+      if (!read_length_delimited(p, end, &s)) return false;
+      out->bytes_values.push_back(s);
+    } else if (kind == 2) {  // FloatList.value: repeated float (packed)
+      if (wire == 2) {
+        Slice s;
+        if (!read_length_delimited(p, end, &s)) return false;
+        size_t n = s.len / 4;
+        size_t base = out->float_values.size();
+        out->float_values.resize(base + n);
+        memcpy(out->float_values.data() + base, s.data, n * 4);
+      } else if (wire == 5) {
+        if (end - p < 4) return false;
+        float v;
+        memcpy(&v, p, 4);
+        p += 4;
+        out->float_values.push_back(v);
+      } else {
+        return false;
+      }
+    } else {  // Int64List.value: repeated int64 (packed varint)
+      if (wire == 2) {
+        Slice s;
+        if (!read_length_delimited(p, end, &s)) return false;
+        const uint8_t* q = s.data;
+        const uint8_t* qend = s.data + s.len;
+        uint64_t v;
+        while (q < qend) {
+          if (!read_varint(q, qend, &v)) return false;
+          out->int64_values.push_back(static_cast<int64_t>(v));
+        }
+      } else if (wire == 0) {
+        uint64_t v;
+        if (!read_varint(p, end, &v)) return false;
+        out->int64_values.push_back(static_cast<int64_t>(v));
+      } else {
+        return false;
+      }
+    }
+  }
+  return true;
+}
+
+// Parse a tf.train.Feature: oneof {1: BytesList, 2: FloatList, 3: Int64List}.
+bool parse_feature(Slice feature, FeatureValue* out) {
+  const uint8_t* p = feature.data;
+  const uint8_t* end = feature.data + feature.len;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    uint32_t field = static_cast<uint32_t>(tag >> 3);
+    uint32_t wire = static_cast<uint32_t>(tag & 7);
+    if (wire != 2 || field < 1 || field > 3) {
+      if (!skip_field(p, end, wire)) return false;
+      continue;
+    }
+    Slice list;
+    if (!read_length_delimited(p, end, &list)) return false;
+    if (!parse_value_list(list, static_cast<int>(field), out)) return false;
+  }
+  return true;
+}
+
+// Parse tf.train.Example {1: Features{1: map<string, Feature>}}.
+bool parse_example(const uint8_t* data, size_t len, ParsedExample* out) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    uint32_t field = static_cast<uint32_t>(tag >> 3);
+    uint32_t wire = static_cast<uint32_t>(tag & 7);
+    if (field != 1 || wire != 2) {
+      if (!skip_field(p, end, wire)) return false;
+      continue;
+    }
+    Slice features;
+    if (!read_length_delimited(p, end, &features)) return false;
+    // Features: repeated map entry {1: key, 2: Feature}
+    const uint8_t* fp = features.data;
+    const uint8_t* fend = features.data + features.len;
+    while (fp < fend) {
+      uint64_t ftag;
+      if (!read_varint(fp, fend, &ftag)) return false;
+      uint32_t ffield = static_cast<uint32_t>(ftag >> 3);
+      uint32_t fwire = static_cast<uint32_t>(ftag & 7);
+      if (ffield != 1 || fwire != 2) {
+        if (!skip_field(fp, fend, fwire)) return false;
+        continue;
+      }
+      Slice entry;
+      if (!read_length_delimited(fp, fend, &entry)) return false;
+      const uint8_t* ep = entry.data;
+      const uint8_t* eend = entry.data + entry.len;
+      std::string key;
+      Slice feature_bytes{nullptr, 0};
+      while (ep < eend) {
+        uint64_t etag;
+        if (!read_varint(ep, eend, &etag)) return false;
+        uint32_t efield = static_cast<uint32_t>(etag >> 3);
+        uint32_t ewire = static_cast<uint32_t>(etag & 7);
+        if (efield == 1 && ewire == 2) {
+          Slice k;
+          if (!read_length_delimited(ep, eend, &k)) return false;
+          key.assign(reinterpret_cast<const char*>(k.data), k.len);
+        } else if (efield == 2 && ewire == 2) {
+          if (!read_length_delimited(ep, eend, &feature_bytes)) return false;
+        } else {
+          if (!skip_field(ep, eend, ewire)) return false;
+        }
+      }
+      if (!key.empty() && feature_bytes.data != nullptr) {
+        FeatureValue value;
+        if (!parse_feature(feature_bytes, &value)) return false;
+        out->features.emplace(std::move(key), std::move(value));
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------- TFRecord stream API -------------------------
+void* tfx_open(const char* path, int check_crc) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  Reader* r = new Reader();
+  r->file = f;
+  r->check_crc = check_crc != 0;
+  return r;
+}
+
+// Returns record length (>0), 0 on clean EOF, -1 on corruption.
+long tfx_next(void* handle, const uint8_t** data) {
+  Reader* r = static_cast<Reader*>(handle);
+  uint8_t header[12];
+  size_t got = fread(header, 1, 12, r->file);
+  if (got == 0) return 0;
+  if (got != 12) return -1;
+  uint64_t length;
+  memcpy(&length, header, 8);
+  if (r->check_crc) {
+    uint32_t expected;
+    memcpy(&expected, header + 8, 4);
+    if (masked_crc(header, 8) != expected) return -1;
+  }
+  r->buffer.resize(length + 4);
+  if (fread(r->buffer.data(), 1, length + 4, r->file) != length + 4) {
+    return -1;
+  }
+  if (r->check_crc) {
+    uint32_t expected;
+    memcpy(&expected, r->buffer.data() + length, 4);
+    if (masked_crc(r->buffer.data(), length) != expected) return -1;
+  }
+  r->records_read++;
+  *data = r->buffer.data();
+  return static_cast<long>(length);
+}
+
+void tfx_close(void* handle) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (r->file) fclose(r->file);
+  delete r;
+}
+
+// ------------------------- Example parse API ---------------------------
+void* tfx_parse_example(const uint8_t* data, size_t len) {
+  ParsedExample* ex = new ParsedExample();
+  ex->storage.assign(data, data + len);
+  if (!parse_example(ex->storage.data(), len, ex)) {
+    delete ex;
+    return nullptr;
+  }
+  return ex;
+}
+
+void tfx_free_example(void* handle) {
+  delete static_cast<ParsedExample*>(handle);
+}
+
+// 0 = missing, 1 = bytes, 2 = float, 3 = int64.
+int tfx_feature_type(void* handle, const char* name) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  auto it = ex->features.find(name);
+  return it == ex->features.end() ? 0 : it->second.type;
+}
+
+long tfx_feature_len(void* handle, const char* name) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  auto it = ex->features.find(name);
+  if (it == ex->features.end()) return 0;
+  switch (it->second.type) {
+    case 1: return static_cast<long>(it->second.bytes_values.size());
+    case 2: return static_cast<long>(it->second.float_values.size());
+    case 3: return static_cast<long>(it->second.int64_values.size());
+    default: return 0;
+  }
+}
+
+void tfx_feature_float(void* handle, const char* name, float* out) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  auto it = ex->features.find(name);
+  if (it == ex->features.end()) return;
+  memcpy(out, it->second.float_values.data(),
+         it->second.float_values.size() * sizeof(float));
+}
+
+void tfx_feature_int64(void* handle, const char* name, int64_t* out) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  auto it = ex->features.find(name);
+  if (it == ex->features.end()) return;
+  memcpy(out, it->second.int64_values.data(),
+         it->second.int64_values.size() * sizeof(int64_t));
+}
+
+long tfx_feature_bytes_len(void* handle, const char* name, long index) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  auto it = ex->features.find(name);
+  if (it == ex->features.end() ||
+      index >= static_cast<long>(it->second.bytes_values.size())) return -1;
+  return static_cast<long>(it->second.bytes_values[index].len);
+}
+
+const uint8_t* tfx_feature_bytes(void* handle, const char* name,
+                                 long index) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  auto it = ex->features.find(name);
+  if (it == ex->features.end() ||
+      index >= static_cast<long>(it->second.bytes_values.size())) {
+    return nullptr;
+  }
+  return it->second.bytes_values[index].data;
+}
+
+// Number of feature keys; copies the idx-th key into out (truncated to
+// out_len including NUL).  For introspection/debugging.
+long tfx_feature_count(void* handle) {
+  return static_cast<long>(
+      static_cast<ParsedExample*>(handle)->features.size());
+}
+
+void tfx_feature_name(void* handle, long idx, char* out, long out_len) {
+  ParsedExample* ex = static_cast<ParsedExample*>(handle);
+  long i = 0;
+  for (const auto& kv : ex->features) {
+    if (i++ == idx) {
+      snprintf(out, out_len, "%s", kv.first.c_str());
+      return;
+    }
+  }
+  if (out_len > 0) out[0] = '\0';
+}
+
+}  // extern "C"
