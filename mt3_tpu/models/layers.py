@@ -203,34 +203,33 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
 class KVCache:
   """Decoder self-attention cache for one attention stack.
 
-  Keys/values are stored [layers, batch, heads, length, head_dim].  Each
-  step writes a single [1, head_dim] row per (batch, head) via
-  dynamic_update_slice — an in-place update of the loop carry, so per-step
-  HBM write traffic is O(heads * head_dim), not O(cache).  (The reference
-  uses a one-hot broadcast add into a [b,h,d,len] cache, layers.py:246-305,
-  which rewrites the entire cache every step; with the cache sized for
-  1024 positions that costs ~2x the whole attention read.)  The decode
-  driver grows the length axis in buckets so attention reads scale with
-  the live prefix (see mt3_tpu/infer/decode.py).
+  Keys/values are stored [layers, batch, heads, head_dim, length]: length
+  on the minor (lane) axis keeps every tile dense (head_dim 64 on the
+  minor axis would pad to 128 lanes and double all read traffic — measured
+  ~20% slower end-to-end), and enables the scatter-free one-hot broadcast
+  update the reference also found fastest on TPU (layers.py:246-305).
+  The decode driver additionally grows the length axis in buckets so
+  attention reads scale with the live prefix
+  (see mt3_tpu/infer/decode.py).
   """
-  key: Array    # [L, b, h, len, d]
-  value: Array  # [L, b, h, len, d]
+  key: Array    # [L, b, h, d, len]
+  value: Array  # [L, b, h, d, len]
 
 
 def init_kv_cache(num_layers: int, batch: int, num_heads: int, head_dim: int,
                   max_len: int, dtype=jnp.float32) -> KVCache:
-  shape = (num_layers, batch, num_heads, max_len, head_dim)
+  shape = (num_layers, batch, num_heads, head_dim, max_len)
   return KVCache(key=jnp.zeros(shape, dtype),
                  value=jnp.zeros(shape, dtype))
 
 
 def grow_kv_cache(cache: KVCache, new_len: int) -> KVCache:
   """Zero-pad the length axis up to new_len (bucketed decode growth)."""
-  cur = cache.key.shape[-2]
+  cur = cache.key.shape[-1]
   if new_len <= cur:
     return cache
   pad = [(0, 0)] * cache.key.ndim
-  pad[-2] = (0, new_len - cur)
+  pad[-1] = (0, new_len - cur)
   return KVCache(key=jnp.pad(cache.key, pad),
                  value=jnp.pad(cache.value, pad))
 
@@ -239,31 +238,29 @@ def attention_decode_step(
     params: PyTree, x: Array, cache_k: Array, cache_v: Array,
     cache_index: Array, num_heads: int, head_dim: int,
     dtype=jnp.float32) -> Tuple[Array, Array, Array]:
-  """Single-position self-attention against a [b,h,len,d] cache slice.
+  """Single-position self-attention against a [b,h,d,len] cache slice.
 
   x: [b, emb] single-step input.  Returns (output [b, emb], new_cache_k,
-  new_cache_v).  The cache update is a dynamic_update_slice at
-  cache_index; the causal mask is an index comparison.
+  new_cache_v).  The cache update is a one-hot broadcast add (scatter-free
+  and lane-aligned); the causal mask is an index comparison.
   """
   b = x.shape[0]
-  max_len = cache_k.shape[-2]
+  max_len = cache_k.shape[-1]
   query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
   key = dense(params['key'], x, dtype).reshape(b, num_heads, head_dim)
   value = dense(params['value'], x, dtype).reshape(b, num_heads, head_dim)
 
-  zero = jnp.zeros((), jnp.int32)
-  cache_k = jax.lax.dynamic_update_slice(
-      cache_k, key[:, :, None, :], (zero, zero, cache_index, zero))
-  cache_v = jax.lax.dynamic_update_slice(
-      cache_v, value[:, :, None, :], (zero, zero, cache_index, zero))
+  one_hot = jax.nn.one_hot(cache_index, max_len, dtype=dtype)  # [len]
+  cache_k = cache_k + key[..., None] * one_hot
+  cache_v = cache_v + value[..., None] * one_hot
 
   # [b, h, len]
-  logits = jnp.einsum('bhd,bhld->bhl', query, cache_k,
+  logits = jnp.einsum('bhd,bhdl->bhl', query, cache_k,
                       precision=matmul_precision(dtype)).astype(jnp.float32)
   visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
   logits = jnp.where(visible, logits, -1e10)
   weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-  out = jnp.einsum('bhl,bhld->bhd', weights, cache_v,
+  out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
                    precision=matmul_precision(dtype))
   out = dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
   return out, cache_k, cache_v

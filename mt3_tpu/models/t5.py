@@ -414,10 +414,13 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
     y = y + h
     return y, (cache_k, cache_v)
 
+  # Fully unrolled: the per-token step is latency-sensitive and unrolling
+  # lets XLA fuse across the (few) decoder layers.
   y, (new_k, new_v) = jax.lax.scan(
       layer_step, y,
       (params['decoder']['layers'], state.cache.key, state.cache.value,
-       state.cross_k, state.cross_v))
+       state.cross_k, state.cross_v),
+      unroll=True)
 
   y = layers.rms_norm(params['decoder']['norm'], y, dtype=dtype)
   logits = layers.dense(params['decoder']['logits'], y, jnp.float32)
