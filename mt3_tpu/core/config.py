@@ -129,6 +129,9 @@ class ModelConfig:
   dtype: str = 'float32'
   # Maximum (fixed sinusoidal) position, reference layers.py:565.
   max_positions: int = 2048
+  # KV-cache write strategy during decode: 'dus' (in-place column write)
+  # or 'onehot' (broadcast-add, rewrites the cache every step).
+  decode_cache_update: str = 'dus'
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,11 +90,27 @@ def _transcribe_batch(params, model_config, spec_config, frames,
 
 
 class Transcriber:
-  """Audio -> NoteSequence transcription engine."""
+  """Audio -> NoteSequence transcription engine.
+
+  With a mesh, parameters are placed by their logical axes (replicated or
+  tensor-parallel over 'model') and each segment batch is sharded over
+  'data' — the TPU-native sequence-scaling story: segments of the sliding
+  window are embarrassingly parallel, so the segment axis is a batch axis
+  on the mesh (SURVEY.md section 5.7).
+  """
 
   def __init__(self, config: MT3Config, params,
-               temperature: float = 0.0):
+               temperature: float = 0.0, mesh=None, params_axes=None):
     self.config = config
+    self.mesh = mesh
+    if mesh is not None:
+      from mt3_tpu.parallel import partitioning
+      if params_axes is not None:
+        params = partitioning.shard_params(params, params_axes, mesh)
+      else:
+        params = jax.device_put(
+            params, jax.tree_util.tree_map(
+                lambda _: partitioning.replicated(mesh), params))
     self.params = params
     self.temperature = temperature
     self.codec = vocabulary.build_codec(config.vocab)
@@ -117,9 +133,14 @@ class Transcriber:
     predictions = []
     for batch in audio_to_segments(audio, self.config):
       rng, batch_rng = jax.random.split(rng)
+      frames = jnp.asarray(batch.frames)
+      if self.mesh is not None:
+        from mt3_tpu.parallel import partitioning
+        frames = jax.device_put(
+            frames, partitioning.data_sharding(self.mesh, frames.ndim))
       tokens, _ = _transcribe_batch(
           self.params, self.config.model, self.config.spectrogram,
-          jnp.asarray(batch.frames), self.config.run.targets_length,
+          frames, self.config.run.targets_length,
           self.temperature, batch_rng)
       tokens = np.asarray(tokens)
       decoded = self.vocab.decode_array(tokens)

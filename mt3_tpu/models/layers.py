@@ -237,12 +237,15 @@ def grow_kv_cache(cache: KVCache, new_len: int) -> KVCache:
 def attention_decode_step(
     params: PyTree, x: Array, cache_k: Array, cache_v: Array,
     cache_index: Array, num_heads: int, head_dim: int,
-    dtype=jnp.float32) -> Tuple[Array, Array, Array]:
+    dtype=jnp.float32, cache_update: str = 'dus'
+) -> Tuple[Array, Array, Array]:
   """Single-position self-attention against a [b,h,d,len] cache slice.
 
   x: [b, emb] single-step input.  Returns (output [b, emb], new_cache_k,
-  new_cache_v).  The cache update is a one-hot broadcast add (scatter-free
-  and lane-aligned); the causal mask is an index comparison.
+  new_cache_v).  cache_update 'dus' writes one length column in place
+  (O(b*h*d) bytes/step); 'onehot' uses the reference's broadcast-add trick
+  (lane-aligned but rewrites the whole cache each step).  The causal mask
+  is an index comparison.
   """
   b = x.shape[0]
   max_len = cache_k.shape[-1]
@@ -250,9 +253,16 @@ def attention_decode_step(
   key = dense(params['key'], x, dtype).reshape(b, num_heads, head_dim)
   value = dense(params['value'], x, dtype).reshape(b, num_heads, head_dim)
 
-  one_hot = jax.nn.one_hot(cache_index, max_len, dtype=dtype)  # [len]
-  cache_k = cache_k + key[..., None] * one_hot
-  cache_v = cache_v + value[..., None] * one_hot
+  if cache_update == 'onehot':
+    one_hot = jax.nn.one_hot(cache_index, max_len, dtype=dtype)  # [len]
+    cache_k = cache_k + key[..., None] * one_hot
+    cache_v = cache_v + value[..., None] * one_hot
+  else:
+    zero = jnp.zeros((), jnp.int32)
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, key[..., None], (zero, zero, zero, cache_index))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, value[..., None], (zero, zero, zero, cache_index))
 
   # [b, h, len]
   logits = jnp.einsum('bhd,bhdl->bhl', query, cache_k,
@@ -271,14 +281,16 @@ def cross_attention_decode_step(
     num_heads: int, head_dim: int, dtype=jnp.float32) -> Array:
   """Single-position cross-attention over precomputed encoder K/V.
 
-  x: [b, emb]; keys/values: [b, k_len, h, d] projected once per segment.
+  x: [b, emb]; keys/values: [b, h, d, enc_len] projected once per segment
+  (same lane-dense layout as the self-attention cache: enc_len on the
+  minor axis avoids the 2x lane padding a trailing head_dim=64 causes).
   """
   b = x.shape[0]
   query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
-  logits = jnp.einsum('bhd,bkhd->bhk', query, keys,
+  logits = jnp.einsum('bhd,bhdk->bhk', query, keys,
                       precision=matmul_precision(dtype)).astype(jnp.float32)
   weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-  out = jnp.einsum('bhk,bkhd->bhd', weights, values,
+  out = jnp.einsum('bhk,bhdk->bhd', weights, values,
                    precision=matmul_precision(dtype))
   return dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
 

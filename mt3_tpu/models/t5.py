@@ -341,8 +341,8 @@ def forward(params: PyTree, config: ModelConfig, encoder_input: Array,
 class DecodeState:
   """Carried state for single-step autoregressive decoding."""
   cache: KVCache        # self-attention KV cache [L, b, h, d, max_len]
-  cross_k: Array        # [L, b, enc_len, h, d]
-  cross_v: Array        # [L, b, enc_len, h, d]
+  cross_k: Array        # [L, b, h, d, enc_len]
+  cross_v: Array        # [L, b, h, d, enc_len]
   index: Array          # scalar int32: current position
 
 
@@ -367,8 +367,11 @@ def init_decode_state(params: PyTree, config: ModelConfig,
                      encoded.astype(dtype), dtype)
     v = layers.dense(layer_params['cross_attention']['value'],
                      encoded.astype(dtype), dtype)
-    k = k.reshape(b, enc_len, config.num_heads, config.head_dim)
-    v = v.reshape(b, enc_len, config.num_heads, config.head_dim)
+    # [b, enc, h, d] -> [b, h, d, enc]: lane-dense layout for decode.
+    k = k.reshape(b, enc_len, config.num_heads,
+                  config.head_dim).transpose(0, 2, 3, 1)
+    v = v.reshape(b, enc_len, config.num_heads,
+                  config.head_dim).transpose(0, 2, 3, 1)
     return None, (k, v)
 
   _, (cross_k, cross_v) = jax.lax.scan(
@@ -400,7 +403,8 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
                         dtype=dtype)
     h, cache_k, cache_v = layers.attention_decode_step(
         layer_params['self_attention'], h, cache_k, cache_v, state.index,
-        config.num_heads, config.head_dim, dtype=dtype)
+        config.num_heads, config.head_dim, dtype=dtype,
+        cache_update=config.decode_cache_update)
     y = y + h
     h = layers.rms_norm(layer_params['pre_cross_attention_norm'], y,
                         dtype=dtype)
