@@ -132,6 +132,10 @@ class ModelConfig:
   # KV-cache write strategy during decode: 'dus' (in-place column write)
   # or 'onehot' (broadcast-add, rewrites the cache every step).
   decode_cache_update: str = 'dus'
+  # Decoder self-attention implementation during decode: 'xla' or
+  # 'pallas' (flash-decode kernel with prefix-proportional cache reads;
+  # TPU only).
+  decode_attention_impl: str = 'xla'
 
 
 @dataclasses.dataclass(frozen=True)

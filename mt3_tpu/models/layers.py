@@ -237,7 +237,8 @@ def grow_kv_cache(cache: KVCache, new_len: int) -> KVCache:
 def attention_decode_step(
     params: PyTree, x: Array, cache_k: Array, cache_v: Array,
     cache_index: Array, num_heads: int, head_dim: int,
-    dtype=jnp.float32, cache_update: str = 'dus'
+    dtype=jnp.float32, cache_update: str = 'dus',
+    attention_impl: str = 'xla'
 ) -> Tuple[Array, Array, Array]:
   """Single-position self-attention against a [b,h,d,len] cache slice.
 
@@ -264,14 +265,24 @@ def attention_decode_step(
     cache_v = jax.lax.dynamic_update_slice(
         cache_v, value[..., None], (zero, zero, zero, cache_index))
 
-  # [b, h, len]
-  logits = jnp.einsum('bhd,bhdl->bhl', query, cache_k,
-                      precision=matmul_precision(dtype)).astype(jnp.float32)
-  visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
-  logits = jnp.where(visible, logits, -1e10)
-  weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-  out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
-                   precision=matmul_precision(dtype))
+  if attention_impl == 'pallas':
+    from mt3_tpu.ops.pallas import decode_attention as da
+    batch_block = next(bb for bb in (8, 4, 2, 1) if b % bb == 0)
+    len_block = next(lb for lb in (256, 128, max_len)
+                     if max_len % lb == 0)
+    out = da.decode_attention(query, cache_k, cache_v, cache_index,
+                              batch_block=batch_block,
+                              len_block=len_block)
+  else:
+    # [b, h, len]
+    logits = jnp.einsum(
+        'bhd,bhdl->bhl', query, cache_k,
+        precision=matmul_precision(dtype)).astype(jnp.float32)
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+    logits = jnp.where(visible, logits, -1e10)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
+                     precision=matmul_precision(dtype))
   out = dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
   return out, cache_k, cache_v
 

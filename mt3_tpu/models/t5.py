@@ -404,7 +404,8 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
     h, cache_k, cache_v = layers.attention_decode_step(
         layer_params['self_attention'], h, cache_k, cache_v, state.index,
         config.num_heads, config.head_dim, dtype=dtype,
-        cache_update=config.decode_cache_update)
+        cache_update=config.decode_cache_update,
+        attention_impl=config.decode_attention_impl)
     y = y + h
     h = layers.rms_norm(layer_params['pre_cross_attention_norm'], y,
                         dtype=dtype)

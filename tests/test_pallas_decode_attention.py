@@ -1,0 +1,53 @@
+"""Pallas decode-attention kernel vs the XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mt3_tpu.ops.pallas import decode_attention
+
+
+def _reference(query, cache_k, cache_v, index):
+  logits = jnp.einsum('bhd,bhdl->bhl', query, cache_k)
+  max_len = cache_k.shape[-1]
+  visible = (jnp.arange(max_len) <= index)[None, None, :]
+  logits = jnp.where(visible, logits, -1e30)
+  weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+  return jnp.einsum('bhl,bhdl->bhd', weights.astype(query.dtype), cache_v)
+
+
+@pytest.mark.parametrize('index', [0, 5, 255, 256, 300, 511])
+def test_matches_reference(index):
+  b, h, d, max_len = 8, 6, 64, 512
+  rng = jax.random.PRNGKey(0)
+  kq, kk, kv = jax.random.split(rng, 3)
+  query = jax.random.normal(kq, (b, h, d))
+  cache_k = jax.random.normal(kk, (b, h, d, max_len))
+  cache_v = jax.random.normal(kv, (b, h, d, max_len))
+  # Zero out positions after index, like a real cache.
+  mask = (jnp.arange(max_len) <= index).astype(jnp.float32)
+  cache_k = cache_k * mask
+  cache_v = cache_v * mask
+
+  ref = _reference(query, cache_k, cache_v, jnp.array(index))
+  out = decode_attention.decode_attention(
+      query, cache_k, cache_v, jnp.array(index), interpret=True)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-5, rtol=1e-5)
+
+
+def test_bf16_inputs():
+  b, h, d, max_len = 8, 6, 64, 256
+  rng = jax.random.PRNGKey(1)
+  query = jax.random.normal(rng, (b, h, d), jnp.bfloat16)
+  cache_k = jax.random.normal(rng, (b, h, d, max_len), jnp.bfloat16)
+  cache_v = jax.random.normal(rng, (b, h, d, max_len), jnp.bfloat16)
+  index = jnp.array(100)
+  ref = _reference(query.astype(jnp.float32), cache_k.astype(jnp.float32),
+                   cache_v.astype(jnp.float32), index)
+  out = decode_attention.decode_attention(query, cache_k, cache_v, index,
+                                          interpret=True)
+  assert out.dtype == jnp.bfloat16
+  np.testing.assert_allclose(np.asarray(out, np.float32),
+                             np.asarray(ref), atol=0.05, rtol=0.05)
