@@ -55,12 +55,18 @@ def init_train_state(rng, model_config: ModelConfig
 
 def train_step(state: TrainState, batch: Mapping[str, jax.Array],
                rng: jax.Array, model_config: ModelConfig,
-               run_config: RunConfig) -> Tuple[TrainState, dict]:
-  """One training step: forward, loss, grads, Adafactor update."""
+               run_config: RunConfig,
+               num_microbatches: int = 0) -> Tuple[TrainState, dict]:
+  """One training step: forward, loss, grads, Adafactor update.
+
+  num_microbatches > 1 accumulates gradients over sequential microbatch
+  slices (the t5x Trainer.num_microbatches capability) to fit large
+  batches in memory.
+  """
   lr_fn = create_learning_rate_fn(run_config)
   step_rng = jax.random.fold_in(rng, state.step)
 
-  def loss_fn(params):
+  def loss_fn(params, batch):
     logits = t5.forward(
         params, model_config,
         batch['encoder_input_tokens'],
@@ -79,8 +85,30 @@ def train_step(state: TrainState, batch: Mapping[str, jax.Array],
                    z_loss=z_term / jnp.maximum(weight_sum, 1e-8))
     return total, metrics
 
-  (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-      state.params)
+  grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+  if num_microbatches and num_microbatches > 1:
+    batch_size = batch['decoder_target_tokens'].shape[0]
+    if batch_size % num_microbatches:
+      raise ValueError('batch size not divisible by num_microbatches')
+    micro = batch_size // num_microbatches
+    sliced = jax.tree_util.tree_map(
+        lambda x: x.reshape((num_microbatches, micro) + x.shape[1:]),
+        dict(batch))
+
+    def accumulate(carry, microbatch):
+      grads_acc, _ = carry
+      (_, metrics), grads = grad_fn(state.params, microbatch)
+      grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+      return (grads_acc, metrics), None
+
+    zero_grads = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+    zero_metrics = {'accuracy': jnp.float32(0), 'weight_sum': jnp.float32(0),
+                    'loss': jnp.float32(0), 'z_loss': jnp.float32(0)}
+    (grads, metrics), _ = jax.lax.scan(accumulate,
+                                       (zero_grads, zero_metrics), sliced)
+  else:
+    (_, metrics), grads = grad_fn(state.params, batch)
 
   lr = lr_fn(state.step)
   new_params, new_opt_state = adafactor.apply_updates(
@@ -98,6 +126,7 @@ class Trainer:
   run_config: RunConfig
   mesh: Optional[Any] = None
   seed: int = 0
+  num_microbatches: int = 0
 
   def __post_init__(self):
     rng = jax.random.PRNGKey(self.seed)
@@ -115,14 +144,16 @@ class Trainer:
       self.state = jax.device_put(self.state, state_shardings)
       self._step_fn = jax.jit(
           functools.partial(train_step, model_config=self.model_config,
-                            run_config=self.run_config),
+                            run_config=self.run_config,
+                            num_microbatches=self.num_microbatches),
           in_shardings=(state_shardings, None, None),
           out_shardings=(state_shardings, None),
           donate_argnums=(0,))
     else:
       self._step_fn = jax.jit(
           functools.partial(train_step, model_config=self.model_config,
-                            run_config=self.run_config),
+                            run_config=self.run_config,
+                            num_microbatches=self.num_microbatches),
           donate_argnums=(0,))
 
   def shard_batch(self, batch):

@@ -127,3 +127,26 @@ def test_learning_rate_warmup(run_config):
   assert float(lr_fn(1)) == pytest.approx(run_config.learning_rate / 2)
   assert float(lr_fn(2)) == pytest.approx(run_config.learning_rate)
   assert float(lr_fn(100)) == pytest.approx(run_config.learning_rate)
+
+
+def test_microbatched_step_matches_full_batch(model_config, run_config):
+  """Gradient accumulation must match the single-shot step numerically."""
+  rng = np.random.RandomState(0)
+  batch = trainer.make_train_batch(
+      rng, 4, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  tr_full = trainer.Trainer(model_config=model_config,
+                            run_config=run_config)
+  tr_micro = trainer.Trainer(model_config=model_config,
+                             run_config=run_config, num_microbatches=2)
+  for _ in range(3):
+    m_full = tr_full.step(batch)
+    m_micro = tr_micro.step(batch)
+  # Params after identical updates agree (loss metric differs: the
+  # microbatched path reports the last microbatch's loss).
+  flat_a = jax.tree_util.tree_leaves(tr_full.state.params)
+  flat_b = jax.tree_util.tree_leaves(tr_micro.state.params)
+  for a, b in zip(flat_a, flat_b):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-4)
+  del m_full, m_micro
