@@ -1,0 +1,89 @@
+"""Decode-throughput experiment runner (real TPU).
+
+Usage:
+  python tools/perf_experiments.py --variant xla_bucket --batch 256
+  python tools/perf_experiments.py --variant pallas --batch 256
+
+Each variant measures the full transcription device program (log-mel ->
+encoder -> full-length decode) and prints ms/iter and audio-s/s.
+Results log: PERF.md.
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, '/root/repo')
+
+from mt3_tpu.core import config as config_lib  # noqa: E402
+from mt3_tpu.infer import decode  # noqa: E402
+from mt3_tpu.models import t5  # noqa: E402
+from mt3_tpu.ops import spectrogram  # noqa: E402
+
+VARIANTS = {
+    # (cache_update, attention_impl, bucket_size)
+    'onehot_nobucket': ('onehot', 'xla', 1024),
+    'onehot_bucket': ('onehot', 'xla', 128),
+    'xla_bucket': ('dus', 'xla', 128),
+    'xla_nobucket': ('dus', 'xla', 1024),
+    'pallas': ('dus', 'pallas', 1024),
+    'pallas_bucket': ('dus', 'pallas', 256),
+}
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--variant', default='xla_bucket',
+                      choices=sorted(VARIANTS))
+  parser.add_argument('--batch', type=int, default=256)
+  parser.add_argument('--iters', type=int, default=2)
+  args = parser.parse_args()
+
+  cache_update, attn_impl, bucket = VARIANTS[args.variant]
+  config = config_lib.mt3_config()
+  model_config = config_lib.ModelConfig(**{
+      **config.model.__dict__, 'dtype': 'bfloat16',
+      'decode_cache_update': cache_update,
+      'decode_attention_impl': attn_impl})
+  spec_config = config.spectrogram
+  run = config.run
+  params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
+  rng = np.random.RandomState(0)
+  frames = jnp.asarray(rng.randn(
+      args.batch, run.inputs_length,
+      spec_config.hop_width).astype(np.float32))
+
+  @jax.jit
+  def transcribe(params, frames):
+    mel = spectrogram.compute_logmel(
+        spectrogram.flatten_frames(frames), spec_config)
+    encoded = t5.encode(params, model_config, mel)
+    return decode.decode_tokens(params, model_config, encoded,
+                                run.targets_length, forbid_eos=True,
+                                bucket_size=bucket)
+
+  t0 = time.perf_counter()
+  np.asarray(transcribe(params, frames)[0])
+  print(f'{args.variant} batch={args.batch}: compile+run '
+        f'{time.perf_counter() - t0:.1f}s', flush=True)
+  times = []
+  for _ in range(args.iters):
+    t0 = time.perf_counter()
+    np.asarray(transcribe(params, frames)[0])
+    times.append(time.perf_counter() - t0)
+  dt = min(times)
+  print(f'{args.variant} batch={args.batch}: {dt * 1000:.0f} ms '
+        f'-> {args.batch * 2.048 / dt:.1f} audio_s/s', flush=True)
+
+
+if __name__ == '__main__':
+  main()
