@@ -168,6 +168,26 @@ class Trainer:
                                         self.dropout_rng)
     return metrics
 
+  def save(self, directory: str) -> str:
+    """Checkpoint the full train state (params + optimizer + step)."""
+    from mt3_tpu.train import checkpoint as ckpt_lib
+    return ckpt_lib.save_checkpoint(directory, int(self.state.step),
+                                    self.state._asdict())
+
+  def restore(self, directory_or_path: str) -> int:
+    """Restore the full train state; returns the restored step.
+
+    Matches the reference's restart semantics (gin/train.gin:129-136):
+    dataset state is not checkpointed — training resumes from the saved
+    step with a fresh data pipeline.
+    """
+    from mt3_tpu.train import checkpoint as ckpt_lib
+    path = (ckpt_lib.latest_checkpoint(directory_or_path)
+            or directory_or_path)
+    restored = ckpt_lib.restore_checkpoint(path, self.state._asdict())
+    self.state = TrainState(**restored)
+    return int(self.state.step)
+
 
 def make_train_batch(rng: np.random.RandomState, batch_size: int,
                      inputs_length: int, targets_length: int,

@@ -150,3 +150,25 @@ def test_microbatched_step_matches_full_batch(model_config, run_config):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-4)
   del m_full, m_micro
+
+
+def test_trainer_save_restore_resume(model_config, run_config, tmp_path):
+  """Full train-state checkpoint round trip: resume continues bit-exact."""
+  rng = np.random.RandomState(0)
+  batch = trainer.make_train_batch(
+      rng, 4, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  tr = trainer.Trainer(model_config=model_config, run_config=run_config)
+  for _ in range(3):
+    tr.step(batch)
+  directory = str(tmp_path / 'ckpt')
+  tr.save(directory)
+  after_four = tr.step(batch)
+
+  tr2 = trainer.Trainer(model_config=model_config, run_config=run_config,
+                        seed=123)  # different init
+  step = tr2.restore(directory)
+  assert step == 3
+  resumed = tr2.step(batch)
+  np.testing.assert_allclose(float(resumed['loss']),
+                             float(after_four['loss']), rtol=1e-6)
