@@ -27,6 +27,11 @@ def main(argv=None):
   parser.add_argument('--batch_size', type=int, default=None)
   parser.add_argument('--checkpoint_dir', default=None)
   parser.add_argument('--checkpoint_period', type=int, default=None)
+  parser.add_argument('--resume', action='store_true',
+                      help='resume from latest checkpoint in '
+                           'checkpoint_dir')
+  parser.add_argument('--eval_period', type=int, default=0,
+                      help='run transcription eval every N steps')
   parser.add_argument('--num_model_partitions', type=int, default=1)
   parser.add_argument('--log_every', type=int, default=10)
   parser.add_argument('--seed', type=int, default=0)
@@ -71,6 +76,14 @@ def main(argv=None):
 
   tr = trainer_lib.Trainer(model_config=config.model, run_config=run,
                            mesh=mesh, seed=args.seed)
+  start_step = 0
+  if args.resume and args.checkpoint_dir:
+    try:
+      start_step = tr.restore(args.checkpoint_dir)
+      print(f'resumed from step {start_step}', file=sys.stderr)
+    except Exception as e:  # no checkpoint yet
+      print(f'no checkpoint to resume ({e}); starting fresh',
+            file=sys.stderr)
 
   from mt3_tpu.ops import spectrogram as spec_lib
   import jax.numpy as jnp
@@ -88,9 +101,18 @@ def main(argv=None):
         'decoder_loss_weights': batch['decoder_loss_weights'],
     }
 
+  def run_eval(step):
+    from mt3_tpu.eval import evaluator
+    from mt3_tpu.infer import transcribe as transcribe_lib
+    transcriber = transcribe_lib.Transcriber(config, tr.state.params)
+    eval_examples = list(source.examples())[:4]
+    scores = evaluator.evaluate_dataset(eval_examples, transcriber)
+    print(f'eval@{step}: onset F1 = {scores.get("Onset F1", 0):.4f}',
+          file=sys.stderr)
+
   ckpt_period = args.checkpoint_period or run.checkpoint_period
   start = time.time()
-  for step in range(steps):
+  for step in range(start_step, steps):
     batch = to_model_batch(next(batches))
     metrics = tr.step(batch)
     if step % args.log_every == 0 or step == steps - 1:
@@ -98,18 +120,18 @@ def main(argv=None):
       print(f'step {step}: loss={float(metrics["loss"]):.4f} '
             f'acc={float(metrics["accuracy"]):.3f} '
             f'lr={float(metrics["learning_rate"]):.2e} '
-            f'({(step + 1) / max(elapsed, 1e-9):.2f} steps/s)',
-            file=sys.stderr)
+            f'({(step - start_step + 1) / max(elapsed, 1e-9):.2f} '
+            f'steps/s)', file=sys.stderr)
     if args.checkpoint_dir and (step + 1) % ckpt_period == 0:
-      path = ckpt_lib.save_checkpoint(
-          args.checkpoint_dir, step + 1,
-          {'params': tr.state.params})
-      print(f'saved checkpoint: {path}', file=sys.stderr)
+      print(f'saved checkpoint: {tr.save(args.checkpoint_dir)}',
+            file=sys.stderr)
+    if args.eval_period and (step + 1) % args.eval_period == 0:
+      run_eval(step + 1)
 
   if args.checkpoint_dir:
-    path = ckpt_lib.save_checkpoint(args.checkpoint_dir, steps,
-                                    {'params': tr.state.params})
-    print(f'saved final checkpoint: {path}', file=sys.stderr)
+    print(f'saved final checkpoint: {tr.save(args.checkpoint_dir)}',
+          file=sys.stderr)
+  del ckpt_lib
 
 
 if __name__ == '__main__':
