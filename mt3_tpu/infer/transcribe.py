@@ -130,7 +130,12 @@ class Transcriber:
                  rng: Optional[jax.Array] = None):
     """Transcribe a full waveform; returns the combined result dict."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    predictions = []
+
+    # Phase 1: dispatch every batch asynchronously; the device works
+    # through them while the host decodes/stitches earlier results
+    # (SURVEY.md section 7.3 item 6: keep host postprocessing off the
+    # device critical path).
+    in_flight = []
     for batch in audio_to_segments(audio, self.config):
       rng, batch_rng = jax.random.split(rng)
       frames = jnp.asarray(batch.frames)
@@ -142,8 +147,12 @@ class Transcriber:
           self.params, self.config.model, self.config.spectrogram,
           frames, self.config.run.targets_length,
           self.temperature, batch_rng)
-      tokens = np.asarray(tokens)
-      decoded = self.vocab.decode_array(tokens)
+      in_flight.append((batch, tokens))
+
+    # Phase 2: fetch and decode on host.
+    predictions = []
+    for batch, tokens in in_flight:
+      decoded = self.vocab.decode_array(np.asarray(tokens))
       for row, start_time, valid in zip(decoded, batch.start_times,
                                         batch.valid):
         if not valid:
