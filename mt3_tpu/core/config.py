@@ -130,8 +130,9 @@ class ModelConfig:
   # Maximum (fixed sinusoidal) position, reference layers.py:565.
   max_positions: int = 2048
   # KV-cache write strategy during decode: 'dus' (in-place column write)
-  # or 'onehot' (broadcast-add, rewrites the cache every step).
-  decode_cache_update: str = 'dus'
+  # or 'onehot' (broadcast-add, rewrites the cache every step).  One-hot
+  # measures fastest on v5e so far (see PERF.md).
+  decode_cache_update: str = 'onehot'
   # Decoder self-attention implementation during decode: 'xla' or
   # 'pallas' (flash-decode kernel with prefix-proportional cache reads;
   # TPU only).
