@@ -51,3 +51,20 @@ def test_bf16_inputs():
   assert out.dtype == jnp.bfloat16
   np.testing.assert_allclose(np.asarray(out, np.float32),
                              np.asarray(ref), atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize('index', [0, 100, 255, 256, 511])
+def test_v2_matches_reference(index):
+  from mt3_tpu.ops.pallas import decode_attention_v2
+  b, h, d, max_len = 16, 6, 64, 512
+  rng = jax.random.PRNGKey(2)
+  kq, kk, kv = jax.random.split(rng, 3)
+  query = jax.random.normal(kq, (b, h, d))
+  mask = (jnp.arange(max_len) <= index).astype(jnp.float32)
+  cache_k = jax.random.normal(kk, (b, h, d, max_len)) * mask
+  cache_v = jax.random.normal(kv, (b, h, d, max_len)) * mask
+  ref = _reference(query, cache_k, cache_v, jnp.array(index))
+  out = decode_attention_v2.decode_attention(
+      query, cache_k, cache_v, jnp.array(index), interpret=True)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-5, rtol=1e-5)

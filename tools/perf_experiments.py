@@ -37,6 +37,8 @@ VARIANTS = {
     'xla_nobucket': ('dus', 'xla', 1024),
     'pallas': ('dus', 'pallas', 1024),
     'pallas_bucket': ('dus', 'pallas', 256),
+    'pallas_v2': ('dus', 'pallas_v2', 1024),
+    'pallas_v2_onehot': ('onehot', 'pallas_v2', 1024),
 }
 
 
