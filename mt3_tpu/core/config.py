@@ -219,8 +219,27 @@ def tiny_config(vocab: Optional[VocabularyConfig] = None) -> MT3Config:
   return MT3Config('tiny', spectrogram, vocab, model, run)
 
 
+def mt3_pretrain_config() -> MT3Config:
+  """MT3 pretraining recipe (reference gin/ismir2022/pretrain.gin)."""
+  base = mt3_config()
+  run = dataclasses.replace(
+      base.run, train_steps=500000, batch_size=1024,
+      label_smoothing=0.1, max_examples_per_mix=8)
+  return dataclasses.replace(base, name='mt3_pretrain', run=run)
+
+
+def mt3_finetune_config() -> MT3Config:
+  """MT3 finetuning recipe (reference gin/ismir2022/finetune.gin)."""
+  base = mt3_config()
+  run = dataclasses.replace(
+      base.run, train_steps=150000, batch_size=256, label_smoothing=0.0)
+  return dataclasses.replace(base, name='mt3_finetune', run=run)
+
+
 CONFIG_FACTORIES = {
     'mt3': mt3_config,
     'ismir2021': ismir2021_config,
+    'mt3_pretrain': mt3_pretrain_config,
+    'mt3_finetune': mt3_finetune_config,
     'tiny': tiny_config,
 }
