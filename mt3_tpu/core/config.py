@@ -130,13 +130,16 @@ class ModelConfig:
   # Maximum (fixed sinusoidal) position, reference layers.py:565.
   max_positions: int = 2048
   # KV-cache write strategy during decode: 'dus' (in-place column write)
-  # or 'onehot' (broadcast-add, rewrites the cache every step).  One-hot
-  # measures fastest on v5e so far (see PERF.md).
-  decode_cache_update: str = 'onehot'
+  # or 'onehot' (broadcast-add, rewrites the cache every step).  dus
+  # measures ~13% faster on v5e (PERF.md).
+  decode_cache_update: str = 'dus'
   # Decoder self-attention implementation during decode: 'xla' or
   # 'pallas' (flash-decode kernel with prefix-proportional cache reads;
   # TPU only).
   decode_attention_impl: str = 'xla'
+  # Rematerialize each transformer layer in the backward pass (trades
+  # FLOPs for activation memory; enables large-batch training).
+  remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -219,15 +219,16 @@ def encode(params: PyTree, config: ModelConfig, encoder_input: Array,
     x = x + _dropout(sub[3], h, config.dropout_rate)
     return x, None
 
-  scan_xs = (params['encoder']['layers'],
-             layer_rng_stack if have_rng else jnp.zeros(
-                 (config.num_encoder_layers,)))
   if have_rng:
-    x, _ = jax.lax.scan(encoder_layer, x, scan_xs)
+    body = (jax.checkpoint(encoder_layer) if config.remat
+            else encoder_layer)
+    x, _ = jax.lax.scan(body, x,
+                        (params['encoder']['layers'], layer_rng_stack))
   else:
     def no_rng_layer(x, layer_params):
       return encoder_layer(x, (layer_params, None))
-    x, _ = jax.lax.scan(no_rng_layer, x, params['encoder']['layers'])
+    body = jax.checkpoint(no_rng_layer) if config.remat else no_rng_layer
+    x, _ = jax.lax.scan(body, x, params['encoder']['layers'])
 
   x = layers.rms_norm(params['encoder']['norm'], x, dtype=dtype)
   x = _dropout(rngs[1], x, config.dropout_rate, broadcast_length=False)
@@ -309,12 +310,15 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
     return y, None
 
   if have_rng:
-    y, _ = jax.lax.scan(decoder_layer,
-                        y, (params['decoder']['layers'], layer_rng_stack))
+    body = (jax.checkpoint(decoder_layer) if config.remat
+            else decoder_layer)
+    y, _ = jax.lax.scan(body, y,
+                        (params['decoder']['layers'], layer_rng_stack))
   else:
     def no_rng_layer(y, layer_params):
       return decoder_layer(y, (layer_params, None))
-    y, _ = jax.lax.scan(no_rng_layer, y, params['decoder']['layers'])
+    body = jax.checkpoint(no_rng_layer) if config.remat else no_rng_layer
+    y, _ = jax.lax.scan(body, y, params['decoder']['layers'])
 
   y = layers.rms_norm(params['decoder']['norm'], y, dtype=dtype)
   y = _dropout(rngs[1], y, config.dropout_rate)

@@ -172,3 +172,24 @@ def test_trainer_save_restore_resume(model_config, run_config, tmp_path):
   resumed = tr2.step(batch)
   np.testing.assert_allclose(float(resumed['loss']),
                              float(after_four['loss']), rtol=1e-6)
+
+
+def test_remat_matches_no_remat(model_config, run_config):
+  """jax.checkpoint on layer scans must not change the update math."""
+  from mt3_tpu.core.config import ModelConfig
+  remat_config = ModelConfig(**{**model_config.__dict__, 'remat': True})
+  rng = np.random.RandomState(0)
+  batch = trainer.make_train_batch(
+      rng, 4, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  tr_a = trainer.Trainer(model_config=model_config, run_config=run_config)
+  tr_b = trainer.Trainer(model_config=remat_config, run_config=run_config)
+  for _ in range(3):
+    ma = tr_a.step(batch)
+    mb = tr_b.step(batch)
+  np.testing.assert_allclose(float(ma['loss']), float(mb['loss']),
+                             rtol=1e-5)
+  flat_a = jax.tree_util.tree_leaves(tr_a.state.params)
+  flat_b = jax.tree_util.tree_leaves(tr_b.state.params)
+  for a, b in zip(flat_a, flat_b):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
