@@ -264,6 +264,41 @@ class SyntheticDataSource(DataSource):
       yield {'sequence': ns, 'audio': self._render(ns)}
 
 
+class TFRecordDataSource(DataSource):
+  """TFRecords of tf.train.Example with our schema.
+
+  Features: 'audio' (float list, 16 kHz samples), 'sequence' (bytes:
+  a Standard MIDI File), optional 'id' (bytes).  Read through the native
+  C++ record reader (mt3_tpu/data/tfrecord.py).  The monophonic
+  extraction script writes this schema.
+  """
+
+  def __init__(self, paths, spectrogram_config=SpectrogramConfig()):
+    if isinstance(paths, str):
+      paths = [paths]
+    self.paths = list(paths)
+    self.sample_rate = spectrogram_config.sample_rate
+    self._len = None
+
+  def __len__(self):
+    if self._len is None:
+      from mt3_tpu.data import tfrecord
+      self._len = sum(
+          sum(1 for _ in tfrecord.read_records(p)) for p in self.paths)
+    return self._len
+
+  def examples(self):
+    from mt3_tpu.core import midi_io
+    from mt3_tpu.data import tfrecord
+    for path in self.paths:
+      for features in tfrecord.read_examples(path):
+        ns = midi_io.midi_to_note_sequence(bytes(features['sequence'][0]))
+        if 'id' in features:
+          ns.id = features['id'][0].decode()
+        audio = np.asarray(features['audio'], np.float32)
+        yield {'sequence': ns, 'audio': audio}
+
+
 class MixtureSource(DataSource):
   """Temperature-weighted mixture over sources (tasks.py:377-402).
 

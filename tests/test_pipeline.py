@@ -201,3 +201,28 @@ def test_overfit_and_transcribe_end_to_end(spec_config):
       ref_intervals, ref_pitches, est_intervals, est_pitches,
       offset_ratio=None)
   assert f1 > 0.8, f'onset F1 too low after overfit: {f1}'
+
+
+def test_tfrecord_data_source(tmp_path, spec_config):
+  from mt3_tpu.core import midi_io
+  from mt3_tpu.core.note_sequence import NoteSequence
+  from mt3_tpu.data import tfrecord
+
+  ns = NoteSequence()
+  ns.add_note(pitch=64, velocity=90, start_time=0.2, end_time=0.8)
+  ns.total_time = 1.0
+  audio = np.random.RandomState(0).randn(16000).astype(np.float32)
+  rec = tfrecord.make_example({
+      'audio': audio,
+      'sequence': [midi_io.note_sequence_to_midi(ns)],
+      'id': [b'ex0'],
+  })
+  path = str(tmp_path / 'data.tfrecord')
+  tfrecord.write_records(path, [rec, rec])
+
+  source = datasets.TFRecordDataSource(path, spec_config)
+  assert len(source) == 2
+  ex = next(source.examples())
+  assert ex['sequence'].id == 'ex0'
+  assert len(ex['sequence'].notes) == 1
+  np.testing.assert_allclose(ex['audio'], audio, atol=1e-6)
