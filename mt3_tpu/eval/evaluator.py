@@ -12,6 +12,7 @@ import json
 import time
 from typing import Dict, Iterable, Optional
 
+import jax
 import numpy as np
 
 from mt3_tpu.core.config import MT3Config
@@ -34,7 +35,6 @@ def evaluate_dataset(
     targets.append({'unique_id': unique_id,
                     'ref_ns': example['sequence']})
     for batch in transcribe.audio_to_segments(example['audio'], config):
-      import jax
       tokens, _ = transcribe._transcribe_batch(
           transcriber.params, config.model, config.spectrogram,
           np.asarray(batch.frames), config.run.targets_length,

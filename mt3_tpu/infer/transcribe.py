@@ -39,26 +39,37 @@ class SegmentBatch:
   valid: List[bool]         # False for rows that are batch padding
 
 
-def audio_to_segments(audio: np.ndarray, config: MT3Config
-                      ) -> Sequence[SegmentBatch]:
-  """Split audio into batches of contiguous inputs_length-frame segments."""
+def audio_to_segments(audio: np.ndarray, config: MT3Config,
+                      overlap_frames: int = 0) -> Sequence[SegmentBatch]:
+  """Split audio into batches of inputs_length-frame segments.
+
+  overlap_frames > 0 strides segments by (inputs_length - overlap), so
+  each boundary is covered with context on both sides; the stitcher's
+  max_decode_time rule (postprocess.decode_and_combine_predictions)
+  resolves the overlapping event streams.  0 matches the reference's
+  contiguous tiling.
+  """
   hop = config.spectrogram.hop_width
   fps = config.spectrogram.frames_per_second
   seg_len = config.run.inputs_length
   batch_size = config.run.infer_batch_size
+  stride = seg_len - overlap_frames
+  if stride <= 0:
+    raise ValueError('overlap must be smaller than the segment length')
 
   frames = spectrogram.split_audio(np.asarray(audio, np.float32),
                                    config.spectrogram)
   n_frames = frames.shape[0]
-  n_segments = max(1, -(-n_frames // seg_len))
+  n_segments = max(1, -(-max(n_frames - overlap_frames, 1) // stride))
 
-  # Pad the frame axis so segments tile exactly.
-  pad_frames = n_segments * seg_len - n_frames
-  if pad_frames:
-    frames = np.pad(frames, [(0, pad_frames), (0, 0)])
+  # Pad the frame axis so the last segment is full length.
+  needed = (n_segments - 1) * stride + seg_len
+  if needed > n_frames:
+    frames = np.pad(frames, [(0, needed - n_frames), (0, 0)])
 
-  segments = frames.reshape(n_segments, seg_len, hop)
-  start_times = [i * seg_len / fps for i in range(n_segments)]
+  segments = np.stack([frames[i * stride:i * stride + seg_len]
+                       for i in range(n_segments)])
+  start_times = [i * stride / fps for i in range(n_segments)]
 
   batches = []
   for i in range(0, n_segments, batch_size):
