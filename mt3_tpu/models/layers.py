@@ -254,6 +254,19 @@ def attention_decode_step(
   key = dense(params['key'], x, dtype).reshape(b, num_heads, head_dim)
   value = dense(params['value'], x, dtype).reshape(b, num_heads, head_dim)
 
+  if attention_impl == 'pallas_v3':
+    # Fused in-place cache write + prefix-proportional attention.
+    from mt3_tpu.ops.pallas import decode_attention_v3 as da3
+    batch_block = next(bb for bb in (16, 8, 4, 2, 1) if b % bb == 0)
+    len_block = next(lb for lb in (256, 128, max_len)
+                     if max_len % lb == 0)
+    out, cache_k, cache_v = da3.decode_attention_inplace(
+        query, key, value, cache_k, cache_v, cache_index,
+        batch_block=batch_block, len_block=len_block)
+    out = dense(params['out'], out.reshape(b, num_heads * head_dim),
+                dtype)
+    return out, cache_k, cache_v
+
   if cache_update == 'onehot':
     one_hot = jax.nn.one_hot(cache_index, max_len, dtype=dtype)  # [len]
     cache_k = cache_k + key[..., None] * one_hot

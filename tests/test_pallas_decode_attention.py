@@ -68,3 +68,33 @@ def test_v2_matches_reference(index):
       query, cache_k, cache_v, jnp.array(index), interpret=True)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                              atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize('index', [0, 100, 255, 256, 511])
+def test_v3_inplace_matches_reference(index):
+  from mt3_tpu.ops.pallas import decode_attention_v3
+  b, h, d, max_len = 16, 6, 64, 512
+  rng = jax.random.PRNGKey(3)
+  kq, kk, kv, kn = jax.random.split(rng, 4)
+  query = jax.random.normal(kq, (b, h, d))
+  new_k = jax.random.normal(kn, (b, h, d))
+  new_v = jax.random.normal(jax.random.fold_in(kn, 1), (b, h, d))
+  # Cache holds positions < index; position index arrives via new_k/v.
+  mask = (jnp.arange(max_len) < index).astype(jnp.float32)
+  cache_k = jax.random.normal(kk, (b, h, d, max_len)) * mask
+  cache_v = jax.random.normal(kv, (b, h, d, max_len)) * mask
+
+  # Reference: write then attend.
+  ref_ck = cache_k.at[:, :, :, index].set(new_k)
+  ref_cv = cache_v.at[:, :, :, index].set(new_v)
+  ref = _reference(query, ref_ck, ref_cv, jnp.array(index))
+
+  out, ck2, cv2 = decode_attention_v3.decode_attention_inplace(
+      query, new_k, new_v, cache_k, cache_v, jnp.array(index),
+      interpret=True)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-5, rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(ck2), np.asarray(ref_ck),
+                             atol=1e-6)
+  np.testing.assert_allclose(np.asarray(cv2), np.asarray(ref_cv),
+                             atol=1e-6)

@@ -39,6 +39,8 @@ VARIANTS = {
     'pallas_bucket': ('dus', 'pallas', 256),
     'pallas_v2': ('dus', 'pallas_v2', 1024),
     'pallas_v2_onehot': ('onehot', 'pallas_v2', 1024),
+    'pallas_v3': ('dus', 'pallas_v3', 1024),
+    'xla_bucket64': ('dus', 'xla', 64),
 }
 
 
