@@ -198,6 +198,51 @@ class LocalPairsDataSource(DataSource):
       yield {'sequence': ns, 'audio': audio}
 
 
+class MaestroDataSource(DataSource):
+  """MAESTRO on local disk, using the official metadata JSON for splits.
+
+  Expects the standard layout: root/maestro-vX.0.0.json plus the
+  audio/midi files it references.  Handles both the row-oriented (v1/v2)
+  and column-oriented (v3) JSON formats.
+  """
+
+  def __init__(self, root: str, split: str = 'train',
+               spectrogram_config: SpectrogramConfig = SpectrogramConfig()):
+    import glob
+    import json
+    self.root = root
+    self.sample_rate = spectrogram_config.sample_rate
+    meta_paths = sorted(glob.glob(os.path.join(root, 'maestro-v*.json')))
+    if not meta_paths:
+      raise FileNotFoundError(f'no maestro-v*.json under {root}')
+    with open(meta_paths[-1]) as f:
+      meta = json.load(f)
+
+    records = []
+    if isinstance(meta, list):  # v1/v2: list of row dicts
+      for row in meta:
+        records.append((row['split'], row['audio_filename'],
+                        row['midi_filename']))
+    else:  # v3: column-oriented dict of {index: value}
+      keys = sorted(meta['split'].keys(), key=lambda k: int(k))
+      for k in keys:
+        records.append((meta['split'][k], meta['audio_filename'][k],
+                        meta['midi_filename'][k]))
+    self.records = [(a, m) for s, a, m in records if s == split]
+
+  def __len__(self):
+    return len(self.records)
+
+  def examples(self):
+    for audio_rel, midi_rel in self.records:
+      ns = midi_io.midi_file_to_note_sequence(
+          os.path.join(self.root, midi_rel))
+      ns.id = audio_rel
+      audio = read_wav(os.path.join(self.root, audio_rel),
+                       self.sample_rate)
+      yield {'sequence': ns, 'audio': audio}
+
+
 class SyntheticDataSource(DataSource):
   """Procedural music: random note sequences + additive-sine rendering."""
 

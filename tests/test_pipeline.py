@@ -226,3 +226,39 @@ def test_tfrecord_data_source(tmp_path, spec_config):
   assert ex['sequence'].id == 'ex0'
   assert len(ex['sequence'].notes) == 1
   np.testing.assert_allclose(ex['audio'], audio, atol=1e-6)
+
+
+def test_maestro_data_source(tmp_path, spec_config):
+  import json
+  import wave
+  from mt3_tpu.core import midi_io
+  from mt3_tpu.core.note_sequence import NoteSequence
+
+  root = tmp_path / 'maestro'
+  (root / '2020').mkdir(parents=True)
+  for i, split in enumerate(['train', 'validation']):
+    ns = NoteSequence()
+    ns.add_note(pitch=60 + i, velocity=90, start_time=0.1, end_time=0.4)
+    ns.total_time = 0.5
+    midi_io.note_sequence_to_midi_file(ns, str(root / f'2020/x{i}.midi'))
+    samples = np.zeros(4000, np.int16)
+    with wave.open(str(root / f'2020/x{i}.wav'), 'wb') as w:
+      w.setnchannels(1)
+      w.setsampwidth(2)
+      w.setframerate(16000)
+      w.writeframes(samples.tobytes())
+  # v3-style column-oriented metadata.
+  meta = {
+      'split': {'0': 'train', '1': 'validation'},
+      'audio_filename': {'0': '2020/x0.wav', '1': '2020/x1.wav'},
+      'midi_filename': {'0': '2020/x0.midi', '1': '2020/x1.midi'},
+  }
+  with open(root / 'maestro-v3.0.0.json', 'w') as f:
+    json.dump(meta, f)
+
+  train = datasets.MaestroDataSource(str(root), 'train', spec_config)
+  val = datasets.MaestroDataSource(str(root), 'validation', spec_config)
+  assert len(train) == 1 and len(val) == 1
+  ex = next(train.examples())
+  assert ex['sequence'].notes[0].pitch == 60
+  assert next(val.examples())['sequence'].notes[0].pitch == 61
