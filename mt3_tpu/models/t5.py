@@ -356,7 +356,9 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 jax.tree_util.register_dataclass(
-    KVCache, data_fields=['key', 'value'], meta_fields=[])
+    KVCache,
+    data_fields=['key', 'value', 'key_scale', 'value_scale'],
+    meta_fields=[])
 
 
 def init_decode_state(params: PyTree, config: ModelConfig,
@@ -384,7 +386,8 @@ def init_decode_state(params: PyTree, config: ModelConfig,
 
   cache = layers.init_kv_cache(
       config.num_decoder_layers, b, config.num_heads, config.head_dim,
-      max_decode_len, dtype=dtype)
+      max_decode_len, dtype=dtype,
+      quantized=config.decode_kv_quantize)
   return DecodeState(cache=cache, cross_k=cross_k, cross_v=cross_v,
                      index=jnp.array(0, jnp.int32))
 
@@ -401,15 +404,27 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
   y = y + jax.lax.dynamic_slice_in_dim(pos, state.index, 1, axis=0)[0]
   y = y.astype(dtype)
 
+  quantized = state.cache.quantized
+
   def layer_step(y, scan_in):
-    layer_params, cache_k, cache_v, cross_k, cross_v = scan_in
+    if quantized:
+      (layer_params, cache_k, cache_v, k_scale, v_scale,
+       cross_k, cross_v) = scan_in
+    else:
+      layer_params, cache_k, cache_v, cross_k, cross_v = scan_in
+      k_scale = v_scale = None
     h = layers.rms_norm(layer_params['pre_self_attention_norm'], y,
                         dtype=dtype)
-    h, cache_k, cache_v = layers.attention_decode_step(
+    result = layers.attention_decode_step(
         layer_params['self_attention'], h, cache_k, cache_v, state.index,
         config.num_heads, config.head_dim, dtype=dtype,
         cache_update=config.decode_cache_update,
-        attention_impl=config.decode_attention_impl)
+        attention_impl=config.decode_attention_impl,
+        cache_k_scale=k_scale, cache_v_scale=v_scale)
+    if quantized:
+      h, cache_k, cache_v, k_scale, v_scale = result
+    else:
+      h, cache_k, cache_v = result
     y = y + h
     h = layers.rms_norm(layer_params['pre_cross_attention_norm'], y,
                         dtype=dtype)
@@ -421,21 +436,33 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
     h = layers.gated_mlp(layer_params['mlp'], h, config.mlp_activations,
                          dtype=dtype)
     y = y + h
+    if quantized:
+      return y, (cache_k, cache_v, k_scale, v_scale)
     return y, (cache_k, cache_v)
 
   # Fully unrolled: the per-token step is latency-sensitive and unrolling
   # lets XLA fuse across the (few) decoder layers.
-  y, (new_k, new_v) = jax.lax.scan(
-      layer_step, y,
-      (params['decoder']['layers'], state.cache.key, state.cache.value,
-       state.cross_k, state.cross_v),
-      unroll=True)
+  if quantized:
+    y, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        layer_step, y,
+        (params['decoder']['layers'], state.cache.key, state.cache.value,
+         state.cache.key_scale, state.cache.value_scale,
+         state.cross_k, state.cross_v),
+        unroll=True)
+  else:
+    y, (new_k, new_v) = jax.lax.scan(
+        layer_step, y,
+        (params['decoder']['layers'], state.cache.key, state.cache.value,
+         state.cross_k, state.cross_v),
+        unroll=True)
+    new_ks = new_vs = None
 
   y = layers.rms_norm(params['decoder']['norm'], y, dtype=dtype)
   logits = layers.dense(params['decoder']['logits'], y, jnp.float32)
 
   new_state = DecodeState(
-      cache=KVCache(key=new_k, value=new_v),
+      cache=KVCache(key=new_k, value=new_v, key_scale=new_ks,
+                    value_scale=new_vs),
       cross_k=state.cross_k, cross_v=state.cross_v,
       index=state.index + 1)
   return logits, new_state

@@ -130,3 +130,31 @@ def test_bfloat16_activations(config, params):
   ref = t5.forward(params, config, enc_in, dec_in, dec_tgt)
   np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                              atol=0.1, rtol=0.1)
+
+
+def test_int8_kv_cache_decode_close_to_fp32(config, params):
+  """int8-quantized cache decode stays numerically close to fp32."""
+  from mt3_tpu.core.config import ModelConfig
+  q_config = ModelConfig(**{**config.__dict__, 'decode_kv_quantize': True})
+  b, enc_len, dec_len = 2, 6, 7
+  enc_in = jax.random.normal(jax.random.PRNGKey(5),
+                             (b, enc_len, config.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(6), (b, dec_len), 3, 100)
+  encoded = t5.encode(params, config, enc_in)
+
+  def run(cfg):
+    state = t5.init_decode_state(params, cfg, encoded, dec_len)
+    logits_seq = []
+    token = jnp.zeros((b,), jnp.int32)
+    for i in range(dec_len):
+      logits, state = t5.decode_step(params, cfg, token, state)
+      logits_seq.append(logits)
+      token = tokens[:, i]
+    return jnp.stack(logits_seq, axis=1)
+
+  ref = run(config)
+  quant = run(q_config)
+  # Quantization noise is ~0.4% of K/V magnitude; logits stay close.
+  err = float(jnp.max(jnp.abs(ref - quant)))
+  scale = float(jnp.max(jnp.abs(ref)))
+  assert err < 0.05 * scale, (err, scale)
