@@ -26,6 +26,9 @@ def main(argv=None):
   parser.add_argument('--num_examples', type=int, default=None)
   parser.add_argument('--output', default=None, help='metrics JSON path')
   parser.add_argument('--summary_dir', default=None)
+  parser.add_argument('--write_jsonl', default=None,
+                      help='also write per-example transcriptions as '
+                           'JSON lines (reference infer binary output)')
   args = parser.parse_args(argv)
 
   import jax
@@ -66,6 +69,17 @@ def main(argv=None):
 
   line = evaluator.write_metrics(scores, args.output)
   print(line)
+
+  if args.write_jsonl:
+    from mt3_tpu.infer import writer
+    with open(args.write_jsonl, 'w') as f:
+      for uid, example in enumerate(examples):
+        result = transcriber.transcribe(example['audio'])
+        f.write(json.dumps({
+            'id': uid,
+            'est_notes': writer.note_sequence_to_dict(result['est_ns']),
+        }) + '\n')
+    print(f'wrote transcriptions to {args.write_jsonl}', file=sys.stderr)
 
   if args.summary_dir:
     # Re-run the combine step to produce summaries for a few examples.
