@@ -128,3 +128,32 @@ def test_round_trip_multi_segment_with_ties(codec):
   assert sequences_approx_equal(
       NoteSequence(notes=[n for n in expected.notes]), est,
       time_tol=0.011)
+
+
+def test_round_trip_with_velocity_bins():
+  """ismir2021-style config: 127 velocity bins survive the round trip."""
+  codec = vocabulary.build_codec(VocabularyConfig(num_velocity_bins=127))
+  ns = NoteSequence()
+  for i, velocity in enumerate([1, 33, 64, 100, 127]):
+    ns.add_note(pitch=60 + i, velocity=velocity, start_time=0.1 * (i + 1),
+                end_time=0.1 * (i + 1) + 0.5)
+  ns.total_time = 1.5
+
+  times, values = note_events.note_sequence_to_onsets_and_offsets(ns)
+  frame_times = np.arange(0, 2.0, 1 / 125.0)
+  events, _, _, _, _ = run_length.encode_and_index_events(
+      state=None, event_times=times, event_values=values,
+      encode_event_fn=note_events.note_event_data_to_events,
+      codec=codec, frame_times=frame_times)
+  tokens = run_length.run_length_encode_shifts(events, codec)
+  tokens = run_length.remove_redundant_state_changes(
+      tokens, codec, ['velocity'])
+
+  result = postprocess.event_predictions_to_ns(
+      [{'unique_id': 0, 'raw_inputs': None, 'est_tokens': tokens,
+        'start_time': 0.0}],
+      codec, note_events.NoteEncodingSpec)
+  est = result['est_ns']
+  got = sorted((n.pitch, n.velocity) for n in est.notes)
+  want = sorted((n.pitch, n.velocity) for n in ns.notes)
+  assert got == want  # 127 bins round-trip velocities exactly
