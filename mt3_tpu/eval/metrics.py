@@ -181,6 +181,7 @@ def transcription_metrics(
     track_specs: Optional[Sequence[note_events.TrackSpec]] = None,
     frame_fps: float = DEFAULT_FRAME_FPS,
     frame_velocity_threshold: int = DEFAULT_FRAME_VELOCITY_THRESHOLD,
+    return_raw: bool = False,
 ) -> Mapping[str, float]:
   """Compute the full transcription metric family.
 
@@ -188,6 +189,8 @@ def transcription_metrics(
   predictions: segment dicts with 'unique_id', 'est_tokens', 'start_time'.
   Returns mean scores over examples (reference metrics.py:175-392, minus
   the TensorBoard audio/pianoroll summaries which live in eval/summaries).
+  With return_raw, also returns the per-example score lists (the
+  reference's histogram source data).
   """
   if onsets_only and use_ties:
     raise ValueError('Ties not compatible with onset-only transcription.')
@@ -303,4 +306,7 @@ def transcription_metrics(
         ref_ns=ref_ns_drumless, est_ns=est_ns_drumless).items():
       scores[metric_name].append(score)
 
-  return {k: float(np.mean(v)) for k, v in scores.items()}
+  means = {k: float(np.mean(v)) for k, v in scores.items()}
+  if return_raw:
+    return means, {k: list(map(float, v)) for k, v in scores.items()}
+  return means
