@@ -66,8 +66,8 @@ def main(argv=None):
       batch_size=batch_size, onsets_only=run.onsets_only,
       include_ties=run.use_ties,
       program_granularity=run.program_granularity, seed=args.seed)
-  batches = pipeline.train_batches(
-      source.examples(), config.spectrogram, codec, vocab, pipe_cfg)
+  batches = pipeline.prefetch(pipeline.train_batches(
+      source.examples(), config.spectrogram, codec, vocab, pipe_cfg))
 
   mesh = None
   if len(jax.devices()) > 1:

@@ -233,6 +233,34 @@ def prepare_train_example(
   }
 
 
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+  """Run `iterator` in a background thread with a bounded queue.
+
+  The tf.data-style host/device overlap: batch preparation proceeds
+  while the previous step executes on the accelerator.
+  """
+  import queue
+  import threading
+
+  q: 'queue.Queue' = queue.Queue(maxsize=size)
+  sentinel = object()
+
+  def producer():
+    try:
+      for item in iterator:
+        q.put(item)
+    finally:
+      q.put(sentinel)
+
+  thread = threading.Thread(target=producer, daemon=True)
+  thread.start()
+  while True:
+    item = q.get()
+    if item is sentinel:
+      return
+    yield item
+
+
 # ---------------------------------------------------------------------------
 # Dataset-level drivers
 # ---------------------------------------------------------------------------

@@ -262,3 +262,8 @@ def test_maestro_data_source(tmp_path, spec_config):
   ex = next(train.examples())
   assert ex['sequence'].notes[0].pitch == 60
   assert next(val.examples())['sequence'].notes[0].pitch == 61
+
+
+def test_prefetch_preserves_order():
+  items = list(pipeline.prefetch(iter(range(20)), size=3))
+  assert items == list(range(20))
