@@ -16,10 +16,13 @@ import json
 import sys
 
 
+from mt3_tpu.core.config import CONFIG_FACTORIES
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description='Evaluate transcription')
   parser.add_argument('--model', default='mt3',
-                      choices=['mt3', 'ismir2021', 'tiny'])
+                      choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--checkpoint', default=None)
   parser.add_argument('--data', default='synthetic',
                       help="'synthetic' or a directory of wav+midi pairs")

@@ -17,10 +17,13 @@ import time
 import numpy as np
 
 
+from mt3_tpu.core.config import CONFIG_FACTORIES
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description='Train a transcription model')
   parser.add_argument('--model', default='tiny',
-                      choices=['mt3', 'ismir2021', 'tiny'])
+                      choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--data', default='synthetic',
                       help="'synthetic' or a directory of wav+midi pairs")
   parser.add_argument('--steps', type=int, default=None)

@@ -19,11 +19,14 @@ import jax
 import numpy as np
 
 
+from mt3_tpu.core.config import CONFIG_FACTORIES
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description='Audio -> MIDI transcription')
   parser.add_argument('inputs', nargs='+', help='input .wav files')
   parser.add_argument('--model', default='mt3',
-                      choices=['mt3', 'ismir2021', 'tiny'])
+                      choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--checkpoint', default=None,
                       help='checkpoint directory (latest step used)')
   parser.add_argument('--output_dir', default='.')

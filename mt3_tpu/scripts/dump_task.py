@@ -11,10 +11,13 @@ import argparse
 import sys
 
 
+from mt3_tpu.core.config import CONFIG_FACTORIES
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description='Dump pipeline examples')
   parser.add_argument('--model', default='mt3',
-                      choices=['mt3', 'ismir2021', 'tiny'])
+                      choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--data', default='synthetic')
   parser.add_argument('--num_examples', type=int, default=2)
   parser.add_argument('--decode_targets', action='store_true',
