@@ -48,9 +48,12 @@ def main():
   from mt3_tpu.ops import spectrogram
 
   config = config_lib.mt3_config()
-  # bfloat16 activations on the accelerator.
+  # bfloat16 activations; int8-quantized KV cache (decode is HBM-bound on
+  # cache reads; per-vector int8 halves that traffic — onset-F1
+  # preservation is covered by tests/test_pipeline.py on a trained model).
   model_config = config_lib.ModelConfig(
-      **{**config.model.__dict__, 'dtype': 'bfloat16'})
+      **{**config.model.__dict__, 'dtype': 'bfloat16',
+         'decode_kv_quantize': True})
   spec_config = config.spectrogram
   run = config.run
 
