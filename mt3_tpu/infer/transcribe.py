@@ -88,13 +88,23 @@ def audio_to_segments(audio: np.ndarray, config: MT3Config,
 
 @functools.partial(jax.jit,
                    static_argnames=('model_config', 'spec_config',
-                                    'max_decode_len', 'temperature'))
+                                    'max_decode_len', 'temperature',
+                                    'num_beams'))
 def _transcribe_batch(params, model_config, spec_config, frames,
-                      max_decode_len, temperature, rng):
+                      max_decode_len, temperature, rng,
+                      num_beams: int = 0):
   """Device program: frames -> logmel -> encode -> decode tokens."""
   mel = spectrogram.compute_logmel(
       spectrogram.flatten_frames(frames), spec_config)
   encoded = t5.encode(params, model_config, mel)
+  if num_beams > 1:
+    from mt3_tpu.infer import beam_search
+    tokens, scores = beam_search.beam_search(
+        params, model_config, encoded, max_decode_len,
+        num_beams=num_beams)
+    lengths = jnp.sum(tokens > 0, axis=-1)
+    del scores
+    return tokens, lengths
   return decode.decode_tokens(params, model_config, encoded,
                               max_decode_len, temperature=temperature,
                               rng=rng)
@@ -111,7 +121,8 @@ class Transcriber:
   """
 
   def __init__(self, config: MT3Config, params,
-               temperature: float = 0.0, mesh=None, params_axes=None):
+               temperature: float = 0.0, mesh=None, params_axes=None,
+               num_beams: int = 0):
     self.config = config
     self.mesh = mesh
     if mesh is not None:
@@ -124,6 +135,7 @@ class Transcriber:
                 lambda _: partitioning.replicated(mesh), params))
     self.params = params
     self.temperature = temperature
+    self.num_beams = num_beams
     self.codec = vocabulary.build_codec(config.vocab)
     self.vocab = vocabulary.vocabulary_from_codec(self.codec)
     if config.run.onsets_only:
@@ -157,7 +169,7 @@ class Transcriber:
       tokens, _ = _transcribe_batch(
           self.params, self.config.model, self.config.spectrogram,
           frames, self.config.run.targets_length,
-          self.temperature, batch_rng)
+          self.temperature, batch_rng, num_beams=self.num_beams)
       in_flight.append((batch, tokens))
 
     # Phase 2: fetch and decode on host.

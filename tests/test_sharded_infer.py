@@ -50,3 +50,15 @@ def test_sharded_transcription_matches_single_device(tiny_setup):
   notes_a = [(n.pitch, round(n.start_time, 3)) for n in ns_a.sorted_notes()]
   notes_b = [(n.pitch, round(n.start_time, 3)) for n in ns_b.sorted_notes()]
   assert notes_a == notes_b
+
+
+def test_beam_transcriber(tiny_setup):
+  config, params, _ = tiny_setup
+  rng = np.random.RandomState(1)
+  audio = rng.randn(config.spectrogram.sample_rate).astype(np.float32)
+  greedy = transcribe_lib.Transcriber(config, params)
+  beam = transcribe_lib.Transcriber(config, params, num_beams=3)
+  r1 = greedy.transcribe(audio)
+  r2 = beam.transcribe(audio)
+  # Both produce well-formed results (random weights: content arbitrary).
+  assert 'est_ns' in r1 and 'est_ns' in r2
