@@ -34,6 +34,24 @@ from mt3_tpu.core.note_sequence import NoteSequence
 MIXING_TEMPERATURE = 10 / 3
 
 
+def construct_task_name(task_prefix: str,
+                        spectrogram_config: SpectrogramConfig =
+                        SpectrogramConfig(),
+                        vocab_config=None,
+                        task_suffix: Optional[str] = None) -> str:
+  """Abbreviation-aware task name (reference tasks.py:41-55)."""
+  from mt3_tpu.core.config import VocabularyConfig
+  vocab_config = vocab_config or VocabularyConfig()
+  fields = [task_prefix]
+  if spectrogram_config.abbrev_str:
+    fields.append(spectrogram_config.abbrev_str)
+  if vocab_config.abbrev_str:
+    fields.append(vocab_config.abbrev_str)
+  if task_suffix:
+    fields.append(task_suffix)
+  return '_'.join(fields)
+
+
 @dataclasses.dataclass
 class InferEvalSplit:
   name: str
