@@ -98,3 +98,34 @@ def test_v3_inplace_matches_reference(index):
                              atol=1e-6)
   np.testing.assert_allclose(np.asarray(cv2), np.asarray(ref_cv),
                              atol=1e-6)
+
+
+def test_v1_under_shard_map():
+  """Kernel partitions over the batch (data) axis with shard_map."""
+  from jax.sharding import Mesh, PartitionSpec as P
+  import numpy as onp
+
+  devices = onp.array(jax.devices()[:4])
+  mesh = Mesh(devices, ('data',))
+  b, h, d, max_len = 16, 6, 64, 256
+  rng = jax.random.PRNGKey(4)
+  index = 100
+  mask = (jnp.arange(max_len) <= index).astype(jnp.float32)
+  query = jax.random.normal(rng, (b, h, d))
+  cache_k = jax.random.normal(jax.random.fold_in(rng, 1),
+                              (b, h, d, max_len)) * mask
+  cache_v = jax.random.normal(jax.random.fold_in(rng, 2),
+                              (b, h, d, max_len)) * mask
+
+  def local_attn(q, ck, cv):
+    return decode_attention.decode_attention(
+        q, ck, cv, jnp.array(index), batch_block=4, interpret=True)
+
+  sharded = jax.shard_map(
+      local_attn, mesh=mesh,
+      in_specs=(P('data'), P('data'), P('data')),
+      out_specs=P('data'), check_vma=False)
+  out = sharded(query, cache_k, cache_v)
+  ref = _reference(query, cache_k, cache_v, jnp.array(index))
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             atol=1e-5, rtol=1e-5)
