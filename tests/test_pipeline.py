@@ -324,3 +324,24 @@ def test_overfit_transcribe_int8_cache(spec_config):
       ref_intervals, ref_pitches, est_intervals, est_pitches,
       offset_ratio=None)
   assert f1 > 0.8, f'onset F1 with int8 cache: {f1}'
+
+
+def test_train_batches_deterministic_by_seed(spec_config, codec, vocab):
+  def batches_with_seed(seed):
+    source = datasets.SyntheticDataSource(num_examples=2, duration=1.5,
+                                          seed=3)
+    cfg = pipeline.TrainPipelineConfig(
+        inputs_length=64, targets_length=384, batch_size=2, seed=seed)
+    it = pipeline.train_batches(source.examples(), spec_config, codec,
+                                vocab, cfg)
+    return [next(it) for _ in range(3)]
+
+  a = batches_with_seed(7)
+  b = batches_with_seed(7)
+  c = batches_with_seed(8)
+  for x, y in zip(a, b):
+    for k in x:
+      np.testing.assert_array_equal(x[k], y[k])
+  assert any(not np.array_equal(x['decoder_target_tokens'],
+                                y['decoder_target_tokens'])
+             for x, y in zip(a, c))
