@@ -42,12 +42,14 @@ class Codec:
         set(er.type for er in self._event_ranges)):
       raise ValueError('duplicate event type in codec ranges')
 
-    # Precompute offsets.
+    # Precompute offsets for O(1) encode / O(log k) decode.
     self._offsets = {}
+    self._range_by_type = {}
     self._starts: List[int] = []
     offset = 0
     for er in self._event_ranges:
       self._offsets[er.type] = offset
+      self._range_by_type[er.type] = er
       self._starts.append(offset)
       offset += er.max_value - er.min_value + 1
     self._num_classes = offset
@@ -67,7 +69,7 @@ class Codec:
     if event.type not in self._offsets:
       raise ValueError(f'Unknown event type: {event.type}')
     er_offset = self._offsets[event.type]
-    er = self._event_ranges[self._starts.index(er_offset)]
+    er = self._range_by_type[event.type]
     if not er.min_value <= event.value <= er.max_value:
       raise ValueError(
           f'Event value {event.value} is not within valid range '
@@ -79,7 +81,7 @@ class Codec:
     if event_type not in self._offsets:
       raise ValueError(f'Unknown event type: {event_type}')
     offset = self._offsets[event_type]
-    er = self._event_ranges[self._starts.index(offset)]
+    er = self._range_by_type[event_type]
     return offset, offset + (er.max_value - er.min_value)
 
   def decode_event_index(self, index: int) -> Event:
