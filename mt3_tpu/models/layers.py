@@ -265,17 +265,6 @@ def _quantize_kv(x: Array) -> Tuple[Array, Array]:
   return q, scale.astype(jnp.float32)
 
 
-def attention_decode_step_quantized(
-    params: PyTree, x: Array, cache: 'KVCache', layer: int,
-    cache_index: Array, num_heads: int, head_dim: int,
-    dtype=jnp.float32) -> Tuple[Array, 'KVCache']:
-  """Decode-step attention over an int8 cache slice (one layer).
-
-  Unused externally; see attention_decode_step for the dispatch.
-  """
-  raise NotImplementedError  # retained for API docs; dispatch is below
-
-
 def attention_decode_step(
     params: PyTree, x: Array, cache_k: Array, cache_v: Array,
     cache_index: Array, num_heads: int, head_dim: int,
