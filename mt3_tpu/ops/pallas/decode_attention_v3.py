@@ -40,18 +40,19 @@ def _kernel(idx_ref, q_ref, new_k_ref, new_v_ref, k_hbm, v_hbm,
   i = pl.program_id(0)
   batch_block = q_ref.shape[0]
 
-  # Kick off the in-place column write of the new K/V.
-  kv_new_buf[0] = new_k_ref[:][..., None]
-  kv_new_buf[1] = new_v_ref[:][..., None]
+  # Kick off the in-place column write of the new K/V.  (Indexing the
+  # destination length axis with the scalar index drops that dim, so the
+  # [B,h,d] VMEM staging buffers copy without a minor-dim reshape, which
+  # Mosaic does not support for 16-bit types.)
+  kv_new_buf[0] = new_k_ref[:]
+  kv_new_buf[1] = new_v_ref[:]
   k_write = pltpu.make_async_copy(
       kv_new_buf.at[0],
-      k_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :,
-                   pl.ds(index, 1)],
+      k_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :, index],
       write_sem.at[0])
   v_write = pltpu.make_async_copy(
       kv_new_buf.at[1],
-      v_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :,
-                   pl.ds(index, 1)],
+      v_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :, index],
       write_sem.at[1])
   k_write.start()
   v_write.start()
@@ -168,7 +169,7 @@ def decode_attention_inplace(query: jax.Array, new_k: jax.Array,
                      cache_k.dtype),
           pltpu.VMEM((N_BUFFERS, batch_block, h, d, len_block),
                      cache_v.dtype),
-          pltpu.VMEM((2, batch_block, h, d, 1), cache_k.dtype),
+          pltpu.VMEM((2, batch_block, h, d), cache_k.dtype),
           pltpu.SemaphoreType.DMA((N_BUFFERS, 2)),
           pltpu.SemaphoreType.DMA((2,)),
       ],
