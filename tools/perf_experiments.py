@@ -30,7 +30,7 @@ from mt3_tpu.models import t5  # noqa: E402
 from mt3_tpu.ops import spectrogram  # noqa: E402
 
 VARIANTS = {
-    # (cache_update, attention_impl, bucket_size)
+    # (cache_update, attention_impl, bucket_size[, kv_quantize])
     'onehot_nobucket': ('onehot', 'xla', 1024),
     'onehot_bucket': ('onehot', 'xla', 128),
     'xla_bucket': ('dus', 'xla', 128),
@@ -41,6 +41,8 @@ VARIANTS = {
     'pallas_v2_onehot': ('onehot', 'pallas_v2', 1024),
     'pallas_v3': ('dus', 'pallas_v3', 1024),
     'xla_bucket64': ('dus', 'xla', 64),
+    'int8': ('dus', 'xla', 128, True),
+    'int8_bucket256': ('dus', 'xla', 256, True),
 }
 
 
@@ -52,12 +54,15 @@ def main():
   parser.add_argument('--iters', type=int, default=2)
   args = parser.parse_args()
 
-  cache_update, attn_impl, bucket = VARIANTS[args.variant]
+  variant = VARIANTS[args.variant]
+  cache_update, attn_impl, bucket = variant[:3]
+  kv_quantize = len(variant) > 3 and variant[3]
   config = config_lib.mt3_config()
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__, 'dtype': 'bfloat16',
       'decode_cache_update': cache_update,
-      'decode_attention_impl': attn_impl})
+      'decode_attention_impl': attn_impl,
+      'decode_kv_quantize': kv_quantize})
   spec_config = config.spectrogram
   run = config.run
   params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
