@@ -31,7 +31,7 @@ N_BUFFERS = 2
 
 def _kernel(idx_ref, q_ref, new_k_ref, new_v_ref, k_hbm, v_hbm,
             out_ref, k_out_hbm, v_out_hbm,
-            k_buf, v_buf, kv_new_buf, sem, write_sem,
+            k_buf, v_buf, k_new_buf, v_new_buf, sem, write_sem,
             *, len_block: int):
   index = idx_ref[0]
   # Blocks of strictly-previous positions; position `index` is added
@@ -44,14 +44,14 @@ def _kernel(idx_ref, q_ref, new_k_ref, new_v_ref, k_hbm, v_hbm,
   # destination length axis with the scalar index drops that dim, so the
   # [B,h,d] VMEM staging buffers copy without a minor-dim reshape, which
   # Mosaic does not support for 16-bit types.)
-  kv_new_buf[0] = new_k_ref[:]
-  kv_new_buf[1] = new_v_ref[:]
+  k_new_buf[:] = new_k_ref[:]
+  v_new_buf[:] = new_v_ref[:]
   k_write = pltpu.make_async_copy(
-      kv_new_buf.at[0],
+      k_new_buf,
       k_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :, index],
       write_sem.at[0])
   v_write = pltpu.make_async_copy(
-      kv_new_buf.at[1],
+      v_new_buf,
       v_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :, index],
       write_sem.at[1])
   k_write.start()
@@ -169,7 +169,8 @@ def decode_attention_inplace(query: jax.Array, new_k: jax.Array,
                      cache_k.dtype),
           pltpu.VMEM((N_BUFFERS, batch_block, h, d, len_block),
                      cache_v.dtype),
-          pltpu.VMEM((2, batch_block, h, d), cache_k.dtype),
+          pltpu.VMEM((batch_block, h, d), cache_k.dtype),
+          pltpu.VMEM((batch_block, h, d), cache_v.dtype),
           pltpu.SemaphoreType.DMA((N_BUFFERS, 2)),
           pltpu.SemaphoreType.DMA((2,)),
       ],
