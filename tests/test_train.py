@@ -193,3 +193,20 @@ def test_remat_matches_no_remat(model_config, run_config):
   flat_b = jax.tree_util.tree_leaves(tr_b.state.params)
   for a, b in zip(flat_a, flat_b):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tensorboard_logging_in_train_flow(model_config, run_config,
+                                           tmp_path):
+  from mt3_tpu.utils.tensorboard import SummaryWriter
+  writer = SummaryWriter(str(tmp_path))
+  tr = trainer.Trainer(model_config=model_config, run_config=run_config)
+  rng = np.random.RandomState(0)
+  batch = trainer.make_train_batch(
+      rng, 2, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  for step in range(2):
+    metrics = tr.step(batch)
+    writer.add_scalars({k: float(v) for k, v in metrics.items()}, step)
+  writer.close()
+  import os
+  assert os.path.getsize(writer.path) > 0
