@@ -40,22 +40,21 @@ def _kernel(idx_ref, q_ref, new_k_ref, new_v_ref, k_hbm, v_hbm,
   i = pl.program_id(0)
   batch_block = q_ref.shape[0]
 
-  # Kick off the in-place column write of the new K/V.  (Indexing the
-  # destination length axis with the scalar index drops that dim, so the
-  # [B,h,d] VMEM staging buffers copy without a minor-dim reshape, which
-  # Mosaic does not support for 16-bit types.)
-  k_new_buf[:] = new_k_ref[:]
-  v_new_buf[:] = new_v_ref[:]
-  k_write = pltpu.make_async_copy(
-      k_new_buf,
-      k_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :, index],
-      write_sem.at[0])
-  v_write = pltpu.make_async_copy(
-      v_new_buf,
-      v_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :, index],
-      write_sem.at[1])
-  k_write.start()
-  v_write.start()
+  # The new K/V column cannot be DMA'd alone (HBM tiles are 128 lanes
+  # wide), so the block containing `index` is read-modified-written:
+  # fetch it into the staging buffers now, insert the column, and write
+  # the whole (tile-aligned) block back at the end of the kernel.
+  write_block = index // len_block
+  k_rmw_read = pltpu.make_async_copy(
+      k_hbm.at[pl.ds(i * batch_block, batch_block), :, :,
+               pl.ds(write_block * len_block, len_block)],
+      k_new_buf, write_sem.at[0])
+  v_rmw_read = pltpu.make_async_copy(
+      v_hbm.at[pl.ds(i * batch_block, batch_block), :, :,
+               pl.ds(write_block * len_block, len_block)],
+      v_new_buf, write_sem.at[1])
+  k_rmw_read.start()
+  v_rmw_read.start()
 
   def k_dma(slot, block):
     return pltpu.make_async_copy(
@@ -123,8 +122,36 @@ def _kernel(idx_ref, q_ref, new_k_ref, new_v_ref, k_hbm, v_hbm,
 
   out_ref[:] = (acc / l_final[..., None]).astype(out_ref.dtype)
 
-  k_write.wait()
-  v_write.wait()
+  # Complete the read-modify-write of the block containing `index`.
+  k_rmw_read.wait()
+  v_rmw_read.wait()
+  offset = index - write_block * len_block
+  lane = jax.lax.broadcasted_iota(jnp.int32, k_new_buf.shape,
+                                  dimension=3)
+  # Insert the column in float32: Mosaic only supports non-trivial
+  # minor-dim broadcasts for 32-bit types.
+  def insert_column(buf, new_col):
+    col = jax.lax.broadcast_in_dim(
+        new_col.astype(jnp.float32), buf.shape, (0, 1, 2))
+    return jnp.where(lane == offset, col,
+                     buf.astype(jnp.float32)).astype(buf.dtype)
+
+  k_new_buf[:] = insert_column(k_new_buf[:], new_k_ref[:])
+  v_new_buf[:] = insert_column(v_new_buf[:], new_v_ref[:])
+  k_rmw_write = pltpu.make_async_copy(
+      k_new_buf,
+      k_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :,
+                   pl.ds(write_block * len_block, len_block)],
+      write_sem.at[0])
+  v_rmw_write = pltpu.make_async_copy(
+      v_new_buf,
+      v_out_hbm.at[pl.ds(i * batch_block, batch_block), :, :,
+                   pl.ds(write_block * len_block, len_block)],
+      write_sem.at[1])
+  k_rmw_write.start()
+  v_rmw_write.start()
+  k_rmw_write.wait()
+  v_rmw_write.wait()
 
 
 @functools.partial(jax.jit, static_argnames=('len_block', 'batch_block',
@@ -169,8 +196,8 @@ def decode_attention_inplace(query: jax.Array, new_k: jax.Array,
                      cache_k.dtype),
           pltpu.VMEM((N_BUFFERS, batch_block, h, d, len_block),
                      cache_v.dtype),
-          pltpu.VMEM((batch_block, h, d), cache_k.dtype),
-          pltpu.VMEM((batch_block, h, d), cache_v.dtype),
+          pltpu.VMEM((batch_block, h, d, len_block), cache_k.dtype),
+          pltpu.VMEM((batch_block, h, d, len_block), cache_v.dtype),
           pltpu.SemaphoreType.DMA((N_BUFFERS, 2)),
           pltpu.SemaphoreType.DMA((2,)),
       ],
