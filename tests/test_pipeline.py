@@ -345,3 +345,22 @@ def test_train_batches_deterministic_by_seed(spec_config, codec, vocab):
   assert any(not np.array_equal(x['decoder_target_tokens'],
                                 y['decoder_target_tokens'])
              for x, y in zip(a, c))
+
+
+def test_tokenize_onsets_only(spec_config):
+  codec = vocabulary.build_codec(VocabularyConfig(num_velocity_bins=1))
+  source = datasets.SyntheticDataSource(num_examples=1, duration=1.0,
+                                        seed=2)
+  ex = next(source.examples())
+  features = pipeline.tokenize_example(
+      ex['sequence'], ex['audio'], spec_config, codec,
+      onsets_only=True, include_ties=False)
+  # Onsets-only: every non-shift event is a pitch.
+  pitch_lo, pitch_hi = codec.event_type_range('pitch')
+  targets = features['targets']
+  non_shift = targets[targets > codec.max_shift_steps]
+  assert len(non_shift) == len(ex['sequence'].notes)
+  assert np.all((non_shift >= pitch_lo) & (non_shift <= pitch_hi))
+  with pytest.raises(ValueError):
+    pipeline.tokenize_example(ex['sequence'], ex['audio'], spec_config,
+                              codec, onsets_only=True, include_ties=True)
