@@ -321,7 +321,7 @@ def attention_decode_step(
   if attention_impl == 'pallas_v3':
     # Fused in-place cache write + prefix-proportional attention.
     from mt3_tpu.ops.pallas import decode_attention_v3 as da3
-    batch_block = next(bb for bb in (16, 8, 4, 2, 1) if b % bb == 0)
+    batch_block = next(bb for bb in (8, 4, 2, 1) if b % bb == 0)
     len_block = next(lb for lb in (256, 128, max_len)
                      if max_len % lb == 0)
     out, cache_k, cache_v = da3.decode_attention_inplace(

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-BATCH_BLOCK = 16
+BATCH_BLOCK = 8
 LEN_BLOCK = 256
 N_BUFFERS = 2
 
