@@ -40,13 +40,14 @@ BUCKET_SIZE = 128
 @functools.partial(
     jax.jit,
     static_argnames=('config', 'max_decode_len', 'temperature',
-                     'forbid_eos', 'bucket_size'))
+                     'forbid_eos', 'bucket_size', 'steps_per_iter'))
 def decode_tokens(params, config: ModelConfig, encoded: Array,
                   max_decode_len: int,
                   temperature: float = 0.0,
                   rng: Optional[Array] = None,
                   forbid_eos: bool = False,
-                  bucket_size: int = BUCKET_SIZE) -> Tuple[Array, Array]:
+                  bucket_size: int = BUCKET_SIZE,
+                  steps_per_iter: int = 1) -> Tuple[Array, Array]:
   """Decode token sequences for a batch of encoded segments.
 
   Args:
@@ -58,6 +59,8 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     rng: PRNGKey, required when temperature > 0.
     forbid_eos: benchmark mode — never emit EOS (forces full length).
     bucket_size: cache-growth granularity.
+    steps_per_iter: decode steps unrolled per while_loop iteration
+        (amortizes fixed loop overhead; must divide bucket_size).
 
   Returns:
     (tokens [b, max_decode_len] int32 with PAD after EOS,
@@ -74,7 +77,7 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
   token = jnp.zeros((b,), jnp.int32)
   done = jnp.zeros((b,), jnp.bool_)
 
-  def body(carry):
+  def one_step(carry):
     token, state, buf, done, step, rng = carry
     logits, state = t5.decode_step(params, config, token, state)
     # Never emit PAD; it is reserved for positions after EOS.
@@ -92,6 +95,14 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
         buf, next_token[:, None], step, axis=1)
     done = jnp.logical_or(done, next_token == EOS_ID)
     return (next_token, state, buf, done, step + 1, rng)
+
+  def body(carry):
+    for _ in range(steps_per_iter):
+      carry = one_step(carry)
+    return carry
+
+  if bucket_size % steps_per_iter:
+    raise ValueError('steps_per_iter must divide bucket_size')
 
   step = jnp.array(0, jnp.int32)
   for bucket_end in range(bucket_size, max_decode_len + bucket_size,

@@ -139,3 +139,16 @@ def test_inference_writer(tmp_path, setup, config):
   assert [line['id'] for line in lines] == ['a', 'b']
   ns = writer.dict_to_note_sequence(lines[0]['est_notes'])
   assert len(ns.notes) == 2
+
+
+def test_steps_per_iter_invariance(config, setup):
+  params, encoded = setup
+  t1, l1 = decode.decode_tokens(params, config, encoded, 40,
+                                bucket_size=8, steps_per_iter=1)
+  t2, l2 = decode.decode_tokens(params, config, encoded, 40,
+                                bucket_size=8, steps_per_iter=2)
+  t4, _ = decode.decode_tokens(params, config, encoded, 40,
+                               bucket_size=8, steps_per_iter=4)
+  np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+  np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
+  np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
