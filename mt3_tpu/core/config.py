@@ -144,6 +144,15 @@ class ModelConfig:
   # scales): halves decode cache read traffic, ~0.4% RMS quantization
   # error on K/V.
   decode_kv_quantize: bool = False
+  # Grouped-query attention: number of K/V heads (None = num_heads,
+  # standard multi-head).  Cuts decode KV-cache traffic by
+  # num_heads/num_kv_heads; for from-scratch training only (published
+  # checkpoints are MHA).
+  num_kv_heads: Optional[int] = None
+
+  @property
+  def kv_heads(self) -> int:
+    return self.num_kv_heads or self.num_heads
 
 
 @dataclasses.dataclass(frozen=True)

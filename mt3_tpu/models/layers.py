@@ -139,14 +139,20 @@ def embed(table: Array, ids: Array, dtype=jnp.float32,
 # Attention
 # ---------------------------------------------------------------------------
 def multihead_params_init(key, emb_dim: int, num_heads: int, head_dim: int,
+                          num_kv_heads: Optional[int] = None,
                           ) -> Tuple[PyTree, PyTree]:
-  """Init q/k/v/out projection kernels; returns (params, logical axes)."""
+  """Init q/k/v/out projection kernels; returns (params, logical axes).
+
+  num_kv_heads < num_heads gives grouped-query attention: K/V project to
+  fewer heads, each shared by num_heads // num_kv_heads query heads.
+  """
   kq, kk, kv, ko = jax.random.split(key, 4)
   joined = num_heads * head_dim
+  joined_kv = (num_kv_heads or num_heads) * head_dim
   params = {
       'query': query_init(kq, (emb_dim, joined), head_dim=head_dim),
-      'key': dense_init(kk, (emb_dim, joined)),
-      'value': dense_init(kv, (emb_dim, joined)),
+      'key': dense_init(kk, (emb_dim, joined_kv)),
+      'value': dense_init(kv, (emb_dim, joined_kv)),
       'out': dense_init(ko, (joined, emb_dim)),
   }
   axes = {
@@ -162,20 +168,28 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
               bias: Optional[Array], num_heads: int, head_dim: int,
               dtype=jnp.float32,
               dropout_rng: Optional[Array] = None,
-              dropout_rate: float = 0.0) -> Array:
+              dropout_rate: float = 0.0,
+              num_kv_heads: Optional[int] = None) -> Array:
   """Full (non-incremental) multi-head dot-product attention.
 
   inputs_q: [b, q, emb]; inputs_kv: [b, k, emb];
   bias: additive [b, 1|h, q, k] or None.  Softmax in float32.
+  With num_kv_heads < num_heads (GQA) the K/V heads are shared across
+  query-head groups.
   """
   b, q_len, _ = inputs_q.shape
   k_len = inputs_kv.shape[1]
+  kv_heads = num_kv_heads or num_heads
   query = dense(params['query'], inputs_q, dtype).reshape(
       b, q_len, num_heads, head_dim)
   key = dense(params['key'], inputs_kv, dtype).reshape(
-      b, k_len, num_heads, head_dim)
+      b, k_len, kv_heads, head_dim)
   value = dense(params['value'], inputs_kv, dtype).reshape(
-      b, k_len, num_heads, head_dim)
+      b, k_len, kv_heads, head_dim)
+  if kv_heads != num_heads:
+    group = num_heads // kv_heads
+    key = jnp.repeat(key, group, axis=2)
+    value = jnp.repeat(value, group, axis=2)
 
   # [b, h, q, k]
   logits = jnp.einsum('bqhd,bkhd->bhqk', query, key,
@@ -271,7 +285,8 @@ def attention_decode_step(
     dtype=jnp.float32, cache_update: str = 'dus',
     attention_impl: str = 'xla',
     cache_k_scale: Optional[Array] = None,
-    cache_v_scale: Optional[Array] = None):
+    cache_v_scale: Optional[Array] = None,
+    num_kv_heads: Optional[int] = None):
   """Single-position self-attention against a [b,h,d,len] cache slice.
 
   x: [b, emb] single-step input.  Returns (output [b, emb], new_cache_k,
@@ -285,9 +300,13 @@ def attention_decode_step(
   """
   b = x.shape[0]
   max_len = cache_k.shape[-1]
-  query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
-  key = dense(params['key'], x, dtype).reshape(b, num_heads, head_dim)
-  value = dense(params['value'], x, dtype).reshape(b, num_heads, head_dim)
+  kv_heads = num_kv_heads or num_heads
+  group = num_heads // kv_heads
+  # Grouped query layout [b, kv, g, d]; g == 1 recovers standard MHA.
+  query = dense(params['query'], x, dtype).reshape(
+      b, kv_heads, group, head_dim)
+  key = dense(params['key'], x, dtype).reshape(b, kv_heads, head_dim)
+  value = dense(params['value'], x, dtype).reshape(b, kv_heads, head_dim)
 
   if cache_k_scale is not None:
     zero = jnp.zeros((), jnp.int32)
@@ -302,17 +321,17 @@ def attention_decode_step(
     cache_v_scale = jax.lax.dynamic_update_slice(
         cache_v_scale, value_scale[..., None], (zero, zero, cache_index))
 
-    # logits[b,h,l] = (q . k_int8[...,l]) * k_scale[b,h,l]
-    logits = jnp.einsum('bhd,bhdl->bhl', query,
+    # logits[b,k,g,l] = (q . k_int8[...,l]) * k_scale[b,k,l]
+    logits = jnp.einsum('bkgd,bkdl->bkgl', query,
                         cache_k.astype(dtype),
                         precision=matmul_precision(dtype))
-    logits = logits.astype(jnp.float32) * cache_k_scale
-    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+    logits = logits.astype(jnp.float32) * cache_k_scale[:, :, None, :]
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
     logits = jnp.where(visible, logits, -1e10)
     weights = jax.nn.softmax(logits, axis=-1)
     # Fold the value scale into the weights before the second einsum.
-    weights = (weights * cache_v_scale).astype(dtype)
-    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v.astype(dtype),
+    weights = (weights * cache_v_scale[:, :, None, :]).astype(dtype)
+    out = jnp.einsum('bkgl,bkdl->bkgd', weights, cache_v.astype(dtype),
                      precision=matmul_precision(dtype))
     out = dense(params['out'], out.reshape(b, num_heads * head_dim),
                 dtype)
@@ -320,12 +339,15 @@ def attention_decode_step(
 
   if attention_impl == 'pallas_v3':
     # Fused in-place cache write + prefix-proportional attention.
+    if group != 1:
+      raise NotImplementedError('pallas decode kernels are MHA-only')
     from mt3_tpu.ops.pallas import decode_attention_v3 as da3
     batch_block = next(bb for bb in (8, 4, 2, 1) if b % bb == 0)
     len_block = next(lb for lb in (256, 128, max_len)
                      if max_len % lb == 0)
     out, cache_k, cache_v = da3.decode_attention_inplace(
-        query, key, value, cache_k, cache_v, cache_index,
+        query.reshape(b, num_heads, head_dim), key, value,
+        cache_k, cache_v, cache_index,
         batch_block=batch_block, len_block=len_block)
     out = dense(params['out'], out.reshape(b, num_heads * head_dim),
                 dtype)
@@ -343,6 +365,8 @@ def attention_decode_step(
         cache_v, value[..., None], (zero, zero, zero, cache_index))
 
   if attention_impl in ('pallas', 'pallas_v2'):
+    if group != 1:
+      raise NotImplementedError('pallas decode kernels are MHA-only')
     if attention_impl == 'pallas':
       from mt3_tpu.ops.pallas import decode_attention as da
     else:
@@ -350,18 +374,19 @@ def attention_decode_step(
     batch_block = next(bb for bb in (16, 8, 4, 2, 1) if b % bb == 0)
     len_block = next(lb for lb in (256, 128, max_len)
                      if max_len % lb == 0)
-    out = da.decode_attention(query, cache_k, cache_v, cache_index,
+    out = da.decode_attention(query.reshape(b, num_heads, head_dim),
+                              cache_k, cache_v, cache_index,
                               batch_block=batch_block,
                               len_block=len_block)
   else:
-    # [b, h, len]
+    # [b, kv, g, len]; g == 1 is standard MHA.
     logits = jnp.einsum(
-        'bhd,bhdl->bhl', query, cache_k,
+        'bkgd,bkdl->bkgl', query, cache_k,
         precision=matmul_precision(dtype)).astype(jnp.float32)
-    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
     logits = jnp.where(visible, logits, -1e10)
     weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
+    out = jnp.einsum('bkgl,bkdl->bkgd', weights, cache_v,
                      precision=matmul_precision(dtype))
   out = dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
   return out, cache_k, cache_v
@@ -369,19 +394,24 @@ def attention_decode_step(
 
 def cross_attention_decode_step(
     params: PyTree, x: Array, keys: Array, values: Array,
-    num_heads: int, head_dim: int, dtype=jnp.float32) -> Array:
+    num_heads: int, head_dim: int, dtype=jnp.float32,
+    num_kv_heads: Optional[int] = None) -> Array:
   """Single-position cross-attention over precomputed encoder K/V.
 
-  x: [b, emb]; keys/values: [b, h, d, enc_len] projected once per segment
-  (same lane-dense layout as the self-attention cache: enc_len on the
-  minor axis avoids the 2x lane padding a trailing head_dim=64 causes).
+  x: [b, emb]; keys/values: [b, kv, d, enc_len] projected once per
+  segment (same lane-dense layout as the self-attention cache: enc_len on
+  the minor axis avoids the 2x lane padding a trailing head_dim=64
+  causes).
   """
   b = x.shape[0]
-  query = dense(params['query'], x, dtype).reshape(b, num_heads, head_dim)
-  logits = jnp.einsum('bhd,bhdk->bhk', query, keys,
+  kv_heads = num_kv_heads or num_heads
+  group = num_heads // kv_heads
+  query = dense(params['query'], x, dtype).reshape(
+      b, kv_heads, group, head_dim)
+  logits = jnp.einsum('bkgd,bkde->bkge', query, keys,
                       precision=matmul_precision(dtype)).astype(jnp.float32)
   weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-  out = jnp.einsum('bhk,bhdk->bhd', weights, values,
+  out = jnp.einsum('bkge,bkde->bkgd', weights, values,
                    precision=matmul_precision(dtype))
   return dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
 

@@ -61,7 +61,8 @@ def init_params(key: Array, config: ModelConfig) -> Tuple[PyTree, PyTree]:
   def encoder_layer_init(k):
     k_attn, = jax.random.split(k, 1)
     attn, attn_axes = layers.multihead_params_init(
-        k_attn, config.emb_dim, config.num_heads, config.head_dim)
+        k_attn, config.emb_dim, config.num_heads, config.head_dim,
+        num_kv_heads=config.num_kv_heads)
     k_wi0, k_wi1, k_wo = jax.random.split(jax.random.fold_in(k, 1), 3)
     params = {
         'attention': attn,
@@ -87,9 +88,11 @@ def init_params(key: Array, config: ModelConfig) -> Tuple[PyTree, PyTree]:
   def decoder_layer_init(k):
     k_self, k_cross = jax.random.split(k, 2)
     self_attn, attn_axes = layers.multihead_params_init(
-        k_self, config.emb_dim, config.num_heads, config.head_dim)
+        k_self, config.emb_dim, config.num_heads, config.head_dim,
+        num_kv_heads=config.num_kv_heads)
     cross_attn, _ = layers.multihead_params_init(
-        k_cross, config.emb_dim, config.num_heads, config.head_dim)
+        k_cross, config.emb_dim, config.num_heads, config.head_dim,
+        num_kv_heads=config.num_kv_heads)
     k_wi0, k_wi1, k_wo = jax.random.split(jax.random.fold_in(k, 1), 3)
     params = {
         'self_attention': self_attn,
@@ -211,7 +214,8 @@ def encode(params: PyTree, config: ModelConfig, encoder_input: Array,
     h = layers.attention(
         layer_params['attention'], h, h, bias=None,
         num_heads=config.num_heads, head_dim=config.head_dim, dtype=dtype,
-        dropout_rng=sub[0], dropout_rate=config.dropout_rate)
+        dropout_rng=sub[0], dropout_rate=config.dropout_rate,
+        num_kv_heads=config.num_kv_heads)
     x = x + _dropout(sub[1], h, config.dropout_rate)
     # Pre-LN MLP block.
     h = layers.rms_norm(layer_params['pre_mlp_norm'], x, dtype=dtype)
@@ -292,7 +296,8 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
     h = layers.attention(
         layer_params['self_attention'], h, h, bias=decoder_bias,
         num_heads=config.num_heads, head_dim=config.head_dim, dtype=dtype,
-        dropout_rng=sub[0], dropout_rate=config.dropout_rate)
+        dropout_rng=sub[0], dropout_rate=config.dropout_rate,
+        num_kv_heads=config.num_kv_heads)
     y = y + _dropout(sub[1], h, config.dropout_rate)
     # Cross-attention.
     h = layers.rms_norm(layer_params['pre_cross_attention_norm'], y,
@@ -301,7 +306,8 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
         layer_params['cross_attention'], h, encoded.astype(dtype),
         bias=cross_bias, num_heads=config.num_heads,
         head_dim=config.head_dim, dtype=dtype,
-        dropout_rng=sub[2], dropout_rate=config.dropout_rate)
+        dropout_rng=sub[2], dropout_rate=config.dropout_rate,
+        num_kv_heads=config.num_kv_heads)
     y = y + _dropout(sub[3], h, config.dropout_rate)
     # MLP.
     h = layers.rms_norm(layer_params['pre_mlp_norm'], y, dtype=dtype)
@@ -373,10 +379,10 @@ def init_decode_state(params: PyTree, config: ModelConfig,
                      encoded.astype(dtype), dtype)
     v = layers.dense(layer_params['cross_attention']['value'],
                      encoded.astype(dtype), dtype)
-    # [b, enc, h, d] -> [b, h, d, enc]: lane-dense layout for decode.
-    k = k.reshape(b, enc_len, config.num_heads,
+    # [b, enc, kv, d] -> [b, kv, d, enc]: lane-dense layout for decode.
+    k = k.reshape(b, enc_len, config.kv_heads,
                   config.head_dim).transpose(0, 2, 3, 1)
-    v = v.reshape(b, enc_len, config.num_heads,
+    v = v.reshape(b, enc_len, config.kv_heads,
                   config.head_dim).transpose(0, 2, 3, 1)
     return None, (k, v)
 
@@ -385,7 +391,7 @@ def init_decode_state(params: PyTree, config: ModelConfig,
       params['decoder']['layers'])
 
   cache = layers.init_kv_cache(
-      config.num_decoder_layers, b, config.num_heads, config.head_dim,
+      config.num_decoder_layers, b, config.kv_heads, config.head_dim,
       max_decode_len, dtype=dtype,
       quantized=config.decode_kv_quantize)
   return DecodeState(cache=cache, cross_k=cross_k, cross_v=cross_v,
@@ -420,7 +426,8 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
         config.num_heads, config.head_dim, dtype=dtype,
         cache_update=config.decode_cache_update,
         attention_impl=config.decode_attention_impl,
-        cache_k_scale=k_scale, cache_v_scale=v_scale)
+        cache_k_scale=k_scale, cache_v_scale=v_scale,
+        num_kv_heads=config.num_kv_heads)
     if quantized:
       h, cache_k, cache_v, k_scale, v_scale = result
     else:
@@ -430,7 +437,8 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
                         dtype=dtype)
     h = layers.cross_attention_decode_step(
         layer_params['cross_attention'], h, cross_k, cross_v,
-        config.num_heads, config.head_dim, dtype=dtype)
+        config.num_heads, config.head_dim, dtype=dtype,
+        num_kv_heads=config.num_kv_heads)
     y = y + h
     h = layers.rms_norm(layer_params['pre_mlp_norm'], y, dtype=dtype)
     h = layers.gated_mlp(layer_params['mlp'], h, config.mlp_activations,

@@ -158,3 +158,35 @@ def test_int8_kv_cache_decode_close_to_fp32(config, params):
   err = float(jnp.max(jnp.abs(ref - quant)))
   scale = float(jnp.max(jnp.abs(ref)))
   assert err < 0.05 * scale, (err, scale)
+
+
+def test_gqa_decode_matches_teacher_forced(config):
+  """GQA (num_kv_heads < num_heads): incremental == teacher-forced."""
+  gqa_config = ModelConfig(**{**config.__dict__, 'num_kv_heads': 2})
+  params, axes = t5.init_params(jax.random.PRNGKey(2), gqa_config)
+  # K/V kernels are smaller.
+  kshape = params['decoder']['layers']['self_attention']['key'].shape
+  assert kshape == (gqa_config.num_decoder_layers, gqa_config.emb_dim,
+                    2 * gqa_config.head_dim)
+
+  b, enc_len, dec_len = 2, 5, 6
+  enc_in = jax.random.normal(jax.random.PRNGKey(3),
+                             (b, enc_len, gqa_config.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(4), (b, dec_len), 3, 100)
+  dec_in = jnp.concatenate(
+      [jnp.zeros((b, 1), jnp.int32), tokens[:, :-1]], axis=1)
+  encoded = t5.encode(params, gqa_config, enc_in)
+  ref = t5.decode_train(params, gqa_config, encoded, dec_in, tokens)
+
+  state = t5.init_decode_state(params, gqa_config, encoded, dec_len)
+  # Cache allocated with kv heads only.
+  assert state.cache.key.shape[2] == 2
+  outs = []
+  token = jnp.zeros((b,), jnp.int32)
+  for i in range(dec_len):
+    logits, state = t5.decode_step(params, gqa_config, token, state)
+    outs.append(logits)
+    token = tokens[:, i]
+  step_logits = jnp.stack(outs, axis=1)
+  np.testing.assert_allclose(np.asarray(ref), np.asarray(step_logits),
+                             atol=2e-4, rtol=1e-4)
