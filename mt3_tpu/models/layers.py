@@ -321,18 +321,33 @@ def attention_decode_step(
     cache_v_scale = jax.lax.dynamic_update_slice(
         cache_v_scale, value_scale[..., None], (zero, zero, cache_index))
 
-    # logits[b,k,g,l] = (q . k_int8[...,l]) * k_scale[b,k,l]
-    logits = jnp.einsum('bkgd,bkdl->bkgl', query,
-                        cache_k.astype(dtype),
-                        precision=matmul_precision(dtype))
-    logits = logits.astype(jnp.float32) * cache_k_scale[:, :, None, :]
-    visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
-    logits = jnp.where(visible, logits, -1e10)
-    weights = jax.nn.softmax(logits, axis=-1)
-    # Fold the value scale into the weights before the second einsum.
-    weights = (weights * cache_v_scale[:, :, None, :]).astype(dtype)
-    out = jnp.einsum('bkgl,bkdl->bkgd', weights, cache_v.astype(dtype),
-                     precision=matmul_precision(dtype))
+    if group == 1:
+      # Keep the MHA einsum form (also keeps the compiled-program cache
+      # warm for the production configuration).
+      q3 = query.reshape(b, num_heads, head_dim)
+      logits = jnp.einsum('bhd,bhdl->bhl', q3, cache_k.astype(dtype),
+                          precision=matmul_precision(dtype))
+      logits = logits.astype(jnp.float32) * cache_k_scale
+      visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+      logits = jnp.where(visible, logits, -1e10)
+      weights = jax.nn.softmax(logits, axis=-1)
+      weights = (weights * cache_v_scale).astype(dtype)
+      out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v.astype(dtype),
+                       precision=matmul_precision(dtype))
+    else:
+      # logits[b,k,g,l] = (q . k_int8[...,l]) * k_scale[b,k,l]
+      logits = jnp.einsum('bkgd,bkdl->bkgl', query,
+                          cache_k.astype(dtype),
+                          precision=matmul_precision(dtype))
+      logits = logits.astype(jnp.float32) * cache_k_scale[:, :, None, :]
+      visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
+      logits = jnp.where(visible, logits, -1e10)
+      weights = jax.nn.softmax(logits, axis=-1)
+      # Fold the value scale into the weights before the second einsum.
+      weights = (weights * cache_v_scale[:, :, None, :]).astype(dtype)
+      out = jnp.einsum('bkgl,bkdl->bkgd', weights,
+                       cache_v.astype(dtype),
+                       precision=matmul_precision(dtype))
     out = dense(params['out'], out.reshape(b, num_heads * head_dim),
                 dtype)
     return out, cache_k, cache_v, cache_k_scale, cache_v_scale
@@ -378,8 +393,18 @@ def attention_decode_step(
                               cache_k, cache_v, cache_index,
                               batch_block=batch_block,
                               len_block=len_block)
+  elif group == 1:
+    q3 = query.reshape(b, num_heads, head_dim)
+    logits = jnp.einsum(
+        'bhd,bhdl->bhl', q3, cache_k,
+        precision=matmul_precision(dtype)).astype(jnp.float32)
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+    logits = jnp.where(visible, logits, -1e10)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
+                     precision=matmul_precision(dtype))
   else:
-    # [b, kv, g, len]; g == 1 is standard MHA.
+    # [b, kv, g, len] grouped-query form.
     logits = jnp.einsum(
         'bkgd,bkdl->bkgl', query, cache_k,
         precision=matmul_precision(dtype)).astype(jnp.float32)
@@ -406,13 +431,24 @@ def cross_attention_decode_step(
   b = x.shape[0]
   kv_heads = num_kv_heads or num_heads
   group = num_heads // kv_heads
-  query = dense(params['query'], x, dtype).reshape(
-      b, kv_heads, group, head_dim)
-  logits = jnp.einsum('bkgd,bkde->bkge', query, keys,
-                      precision=matmul_precision(dtype)).astype(jnp.float32)
-  weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-  out = jnp.einsum('bkge,bkde->bkgd', weights, values,
-                   precision=matmul_precision(dtype))
+  if group == 1:
+    query = dense(params['query'], x, dtype).reshape(
+        b, num_heads, head_dim)
+    logits = jnp.einsum(
+        'bhd,bhdk->bhk', query, keys,
+        precision=matmul_precision(dtype)).astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum('bhk,bhdk->bhd', weights, values,
+                     precision=matmul_precision(dtype))
+  else:
+    query = dense(params['query'], x, dtype).reshape(
+        b, kv_heads, group, head_dim)
+    logits = jnp.einsum(
+        'bkgd,bkde->bkge', query, keys,
+        precision=matmul_precision(dtype)).astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum('bkge,bkde->bkgd', weights, values,
+                     precision=matmul_precision(dtype))
   return dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
 
 
