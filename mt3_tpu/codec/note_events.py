@@ -222,82 +222,108 @@ def _add_note_to_sequence(ns: NoteSequence, start_time: float,
   ns.total_time = max(ns.total_time, end_time)
 
 
+def _finish_active_note(state: NoteDecodingState, key: Tuple[int, int],
+                        end_time: float) -> None:
+  """Pop (pitch, program) from the active set and emit its note."""
+  started_at, velocity = state.active_pitches.pop(key)
+  pitch, program = key
+  _add_note_to_sequence(
+      state.note_sequence, start_time=started_at, end_time=end_time,
+      pitch=pitch, velocity=velocity, program=program)
+
+
+def _on_pitch(state: NoteDecodingState, time: float, pitch: int,
+              codec: event_codec.Codec) -> None:
+  """A pitch token: tie declaration, note-off, or note-on.
+
+  Which of the three depends on decoder state: inside a tie section it
+  declares the pitch as carried over; otherwise current_velocity selects
+  note-off (0) vs note-on.  A note-on for an already-active pitch closes
+  the old note first (graceful re-onset).
+  """
+  del codec
+  key = (pitch, state.current_program)
+  if state.is_tie_section:
+    if key not in state.active_pitches:
+      raise ValueError(
+          'tie declared for note that is not active: %s' % (key,))
+    if key in state.tied_pitches:
+      raise ValueError('tie declared twice for note: %s' % (key,))
+    state.tied_pitches.add(key)
+    return
+  is_active = key in state.active_pitches
+  if state.current_velocity == 0 and not is_active:
+    raise ValueError('note-off for note that is not active: %s' % (key,))
+  if is_active:
+    _finish_active_note(state, key, time)
+  if state.current_velocity > 0:
+    state.active_pitches[key] = (time, state.current_velocity)
+
+
+def _on_drum(state: NoteDecodingState, time: float, pitch: int,
+             codec: event_codec.Codec) -> None:
+  """A drum hit: fixed short duration, never enters the active set."""
+  del codec
+  if state.current_velocity == 0:
+    raise ValueError('drum event requires nonzero velocity')
+  _add_note_to_sequence(
+      state.note_sequence, start_time=time,
+      end_time=time + DEFAULT_NOTE_DURATION,
+      pitch=pitch, velocity=state.current_velocity, is_drum=True)
+
+
+def _on_velocity(state: NoteDecodingState, time: float, velocity_bin: int,
+                 codec: event_codec.Codec) -> None:
+  del time
+  bins = vocabulary.num_velocity_bins_from_codec(codec)
+  state.current_velocity = vocabulary.bin_to_velocity(velocity_bin, bins)
+
+
+def _on_program(state: NoteDecodingState, time: float, program: int,
+                codec: event_codec.Codec) -> None:
+  del time, codec
+  state.current_program = program
+
+
+def _on_tie(state: NoteDecodingState, time: float, value: int,
+            codec: event_codec.Codec) -> None:
+  """End-of-tie-section marker: any active note NOT re-declared ends now."""
+  del value, codec
+  if not state.is_tie_section:
+    raise ValueError('tie marker outside of a tie section')
+  for key in [k for k in state.active_pitches if k not in state.tied_pitches]:
+    _finish_active_note(state, key, time)
+  state.is_tie_section = False
+
+
+_NOTE_EVENT_HANDLERS = {
+    'pitch': _on_pitch,
+    'drum': _on_drum,
+    'velocity': _on_velocity,
+    'program': _on_program,
+    'tie': _on_tie,
+}
+
+
 def decode_note_event(
     state: NoteDecodingState, time: float, event: Event,
     codec: event_codec.Codec) -> None:
   """Process a note event, updating the decoding state.
 
-  Full state machine: onset / offset / velocity / program / drum / tie with
-  graceful re-onset handling and tie-section validation (reference
-  note_sequences.py:313-387).
+  Dispatch-table state machine over onset / offset / velocity / program /
+  drum / tie events, with graceful re-onset handling and tie-section
+  validation.  Capability parity with reference
+  note_sequences.py:313-387 (contract pinned by tests/test_note_events.py).
   """
   if time < state.current_time:
-    raise ValueError('event time < current time, %f < %f' %
+    raise ValueError('event time %f precedes decoder clock %f' %
                      (time, state.current_time))
   state.current_time = time
-  if event.type == 'pitch':
-    pitch = event.value
-    if state.is_tie_section:
-      # "Tied" pitch declared still active from the previous segment.
-      if (pitch, state.current_program) not in state.active_pitches:
-        raise ValueError('inactive pitch/program in tie section: %d/%d' %
-                         (pitch, state.current_program))
-      if (pitch, state.current_program) in state.tied_pitches:
-        raise ValueError('pitch/program is already tied: %d/%d' %
-                         (pitch, state.current_program))
-      state.tied_pitches.add((pitch, state.current_program))
-    elif state.current_velocity == 0:
-      # Note offset.
-      if (pitch, state.current_program) not in state.active_pitches:
-        raise ValueError('note-off for inactive pitch/program: %d/%d' %
-                         (pitch, state.current_program))
-      onset_time, onset_velocity = state.active_pitches.pop(
-          (pitch, state.current_program))
-      _add_note_to_sequence(
-          state.note_sequence, start_time=onset_time, end_time=time,
-          pitch=pitch, velocity=onset_velocity,
-          program=state.current_program)
-    else:
-      # Note onset; handle re-onset of an active pitch gracefully by ending
-      # the previous note.
-      if (pitch, state.current_program) in state.active_pitches:
-        onset_time, onset_velocity = state.active_pitches.pop(
-            (pitch, state.current_program))
-        _add_note_to_sequence(
-            state.note_sequence, start_time=onset_time, end_time=time,
-            pitch=pitch, velocity=onset_velocity,
-            program=state.current_program)
-      state.active_pitches[(pitch, state.current_program)] = (
-          time, state.current_velocity)
-  elif event.type == 'drum':
-    # Drum onset (drums have no offsets).
-    if state.current_velocity == 0:
-      raise ValueError('velocity cannot be zero for drum event')
-    offset_time = time + DEFAULT_NOTE_DURATION
-    _add_note_to_sequence(
-        state.note_sequence, start_time=time, end_time=offset_time,
-        pitch=event.value, velocity=state.current_velocity, is_drum=True)
-  elif event.type == 'velocity':
-    num_velocity_bins = vocabulary.num_velocity_bins_from_codec(codec)
-    state.current_velocity = vocabulary.bin_to_velocity(
-        event.value, num_velocity_bins)
-  elif event.type == 'program':
-    state.current_program = event.value
-  elif event.type == 'tie':
-    # End of tie section: close active notes not declared tied.
-    if not state.is_tie_section:
-      raise ValueError('tie section end event when not in tie section')
-    for (pitch, program) in list(state.active_pitches.keys()):
-      if (pitch, program) not in state.tied_pitches:
-        onset_time, onset_velocity = state.active_pitches.pop(
-            (pitch, program))
-        _add_note_to_sequence(
-            state.note_sequence, start_time=onset_time,
-            end_time=state.current_time, pitch=pitch,
-            velocity=onset_velocity, program=program)
-    state.is_tie_section = False
-  else:
-    raise ValueError('unexpected event type: %s' % event.type)
+  try:
+    handler = _NOTE_EVENT_HANDLERS[event.type]
+  except KeyError:
+    raise ValueError('no decoder for event type: %s' % event.type) from None
+  handler(state, time, event.value, codec)
 
 
 def begin_tied_pitches_section(state: NoteDecodingState) -> None:

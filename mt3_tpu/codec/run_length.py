@@ -69,59 +69,86 @@ def encode_and_index_events(
   event_end_indices, state_events, state_event_indices); see the reference
   docstring (run_length_encoding.py:74-110) for the exact contract.
   """
-  indices = np.argsort(event_times, kind='stable')
-  event_steps = [round(event_times[i] * codec.steps_per_second)
-                 for i in indices]
-  event_values = [event_values[i] for i in indices]
-
+  sps = codec.steps_per_second
+  order = np.argsort(event_times, kind='stable')
   shift_token = codec.encode_event(Event('shift', 1))
+  frame_times = np.asarray(frame_times, dtype=np.float64)
 
-  events = []
+  # --- Pass 1: encode events in time order (state mutates sequentially),
+  # recording for each event its quantized step, its tokens, and how many
+  # state tokens existed before it.
+  per_event = []  # (step, [tokens])
   state_events = []
-  event_start_indices = []
-  state_event_indices = []
-
-  cur_step = 0
-  cur_event_idx = 0
-  cur_state_event_idx = 0
-
-  def fill_event_start_indices_to_cur_step():
-    while (len(event_start_indices) < len(frame_times)
-           and frame_times[len(event_start_indices)]
-           < cur_step / codec.steps_per_second):
-      event_start_indices.append(cur_event_idx)
-      state_event_indices.append(cur_state_event_idx)
-
-  for event_step, event_value in zip(event_steps, event_values):
-    while event_step > cur_step:
-      events.append(shift_token)
-      cur_step += 1
-      fill_event_start_indices_to_cur_step()
-      cur_event_idx = len(events)
-      cur_state_event_idx = len(state_events)
+  state_count_before_step = {}  # step -> len(state_events) before first event at step
+  for i in order:
+    step = round(event_times[i] * sps)
+    state_count_before_step.setdefault(step, len(state_events))
     if encoding_state_to_events_fn:
-      # Capture the state *before* the event occurs.
-      for e in encoding_state_to_events_fn(state):
-        state_events.append(codec.encode_event(e))
-    for e in encode_event_fn(state, event_value, codec):
-      events.append(codec.encode_event(e))
+      # The state snapshot precedes the event it accompanies.
+      state_events.extend(codec.encode_event(e)
+                          for e in encoding_state_to_events_fn(state))
+    toks = [codec.encode_event(e)
+            for e in encode_event_fn(state, event_values[i], codec)]
+    per_event.append((step, toks))
 
-  # Continue filling out event_start_indices past the last event.  The
-  # inequality is not strict: a step landing exactly on a frame start needs
-  # one more shift to "cover" that frame.
-  while cur_step / codec.steps_per_second <= frame_times[-1]:
-    events.append(shift_token)
-    cur_step += 1
-    fill_event_start_indices_to_cur_step()
-    cur_event_idx = len(events)
+  # --- Pass 2: assemble the token stream.  Layout is
+  #   tokens@step0, shift, tokens@step1, shift, tokens@step2, ...
+  # i.e. one single-step shift crosses into each step s >= 1, followed by
+  # the tokens of all events quantized to step s.  The stream must extend
+  # far enough that every audio frame is preceded by a shift: the last
+  # shift crosses into step S = max(last event step, first step strictly
+  # after the final frame time).
+  last_event_step = per_event[-1][0] if per_event else 0
+  first_step_past_audio = int(frame_times[-1] * sps)
+  while first_step_past_audio / sps <= frame_times[-1]:
+    first_step_past_audio += 1
+  total_steps = max(last_event_step, first_step_past_audio)
 
-  event_end_indices = event_start_indices[1:] + [len(events)]
+  tokens_at_step = {}
+  for step, toks in per_event:
+    tokens_at_step.setdefault(step, []).extend(toks)
 
-  return (np.array(events, dtype=np.int32),
-          np.array(event_start_indices, dtype=np.int32),
-          np.array(event_end_indices, dtype=np.int32),
+  stream = []
+  # tokens_through_shift[s] = stream length right after the shift into step
+  # s (events at step s not yet appended); used for frame indexing below.
+  tokens_through_shift = np.zeros(total_steps + 1, dtype=np.int64)
+  stream.extend(tokens_at_step.get(0, ()))
+  for s in range(1, total_steps + 1):
+    stream.append(shift_token)
+    tokens_through_shift[s] = len(stream)
+    stream.extend(tokens_at_step.get(s, ()))
+
+  # --- Pass 3: index every audio frame.  A frame at time t belongs to the
+  # first step s with t < s / sps; its start index is the stream position
+  # just after the shift into step s - 1 (so the slice for a chunk starting
+  # at that frame opens with the events of the frame's own step).
+  step_grid = np.arange(total_steps + 2) / sps
+  frame_step = np.searchsorted(step_grid, frame_times, side='right')
+  frame_step = np.clip(frame_step, 1, total_steps)  # guard fp edge cases
+  event_start_indices = tokens_through_shift[frame_step - 1]
+
+  # State-token index per frame: count of state tokens emitted before the
+  # first event at step >= frame_step - 1.  Frames past the last event keep
+  # the count as of the last event's step (the tail of the stream is pure
+  # shifts and emits no state).
+  if state_events:
+    steps_sorted = np.array(sorted(state_count_before_step), dtype=np.int64)
+    counts_sorted = np.array(
+        [state_count_before_step[s] for s in steps_sorted], dtype=np.int64)
+    query = np.minimum(frame_step - 1, steps_sorted[-1])
+    pos = np.searchsorted(steps_sorted, query, side='left')
+    state_event_indices = counts_sorted[pos]
+  else:
+    state_event_indices = np.zeros(len(frame_times), dtype=np.int64)
+
+  event_end_indices = np.concatenate(
+      [event_start_indices[1:], [len(stream)]])
+
+  return (np.array(stream, dtype=np.int32),
+          event_start_indices.astype(np.int32),
+          event_end_indices.astype(np.int32),
           np.array(state_events, dtype=np.int32),
-          np.array(state_event_indices, dtype=np.int32))
+          state_event_indices.astype(np.int32))
 
 
 def extract_target_sequence_with_indices(
