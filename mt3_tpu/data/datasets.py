@@ -67,6 +67,11 @@ class DatasetConfig:
   train_eval_split: str
   infer_eval_splits: Sequence[InferEvalSplit]
   track_specs: Sequence[TrackSpec] = dataclasses.field(default_factory=list)
+  # Reference TFRecord feature-schema family (see
+  # ReferenceTFRecordDataSource): 'wav_proto' (MAESTRO/GuitarSet),
+  # 'samples_proto' (MusicNet), 'wav_tracks' (URMP), 'mix_tracks'
+  # (Slakh/Cerberus4).
+  schema: str = 'wav_proto'
   # Notes on the reference's source data, for provenance.
   notes: str = ''
 
@@ -89,21 +94,22 @@ MAESTROV3_CONFIG = DatasetConfig(
     notes='MAESTRO v3.0.0 piano')
 
 GUITARSET_CONFIG = DatasetConfig(
-    name='guitarset', train_split='train', train_eval_split='validation',
+    name='guitarset', schema='wav_tracks', train_split='train',
+    train_eval_split='validation',
     infer_eval_splits=[
         InferEvalSplit('train', 'eval_train', include_in_mixture=False),
         InferEvalSplit('validation', 'validation')],
     notes='GuitarSet acoustic guitar (program 24 via lookup)')
 
 URMP_CONFIG = DatasetConfig(
-    name='urmp', train_split='train', train_eval_split='train',
+    name='urmp', schema='wav_tracks', train_split='train', train_eval_split='train',
     infer_eval_splits=[
         InferEvalSplit('train', 'eval_train', include_in_mixture=False),
         InferEvalSplit('test', 'test')],
     notes='URMP multi-instrument; per-instrument program lookup')
 
 MUSICNET_CONFIG = DatasetConfig(
-    name='musicnet', train_split='train', train_eval_split='validation',
+    name='musicnet', schema='samples_proto', train_split='train', train_eval_split='validation',
     infer_eval_splits=[
         InferEvalSplit('train', 'eval_train', include_in_mixture=False),
         InferEvalSplit('validation', 'validation'),
@@ -111,7 +117,7 @@ MUSICNET_CONFIG = DatasetConfig(
     notes='MusicNet classical recordings')
 
 MUSICNET_EM_CONFIG = DatasetConfig(
-    name='musicnet_em', train_split='train', train_eval_split='validation',
+    name='musicnet_em', schema='samples_proto', train_split='train', train_eval_split='validation',
     infer_eval_splits=[
         InferEvalSplit('train', 'eval_train', include_in_mixture=False),
         InferEvalSplit('validation', 'validation'),
@@ -119,7 +125,7 @@ MUSICNET_EM_CONFIG = DatasetConfig(
     notes='MusicNet with EM-refined labels')
 
 CERBERUS4_CONFIG = DatasetConfig(
-    name='cerberus4', train_split='train',
+    name='cerberus4', schema='mix_tracks', train_split='train',
     train_eval_split='validation',
     infer_eval_splits=[
         InferEvalSplit('train', 'eval_train', include_in_mixture=False),
@@ -132,7 +138,7 @@ CERBERUS4_CONFIG = DatasetConfig(
     notes='Slakh bass/drums/guitar/piano subsets mixed')
 
 SLAKH_CONFIG = DatasetConfig(
-    name='slakh', train_split='train', train_eval_split='validation',
+    name='slakh', schema='mix_tracks', train_split='train', train_eval_split='validation',
     infer_eval_splits=[
         InferEvalSplit('train', 'eval_train', include_in_mixture=False),
         InferEvalSplit('validation', 'validation'),
@@ -163,8 +169,29 @@ class DataSource:
     raise NotImplementedError
 
 
-def read_wav(path: str, expected_rate: int) -> np.ndarray:
-  """Minimal WAV reader (PCM16/PCM32/float32), mono-mixed, resampled."""
+def wav_bytes_to_samples(data: bytes, expected_rate: int) -> np.ndarray:
+  """Decode an in-memory WAV file (reference corpora store WAV bytes)."""
+  import io
+  return read_wav(io.BytesIO(data), expected_rate)
+
+
+def resample_audio(samples: np.ndarray, rate: int,
+                   expected_rate: int) -> np.ndarray:
+  """Polyphase resample (host side; replaces librosa.resample)."""
+  if rate == expected_rate:
+    return samples.astype(np.float32)
+  from math import gcd
+  from scipy.signal import resample_poly
+  g = gcd(int(rate), int(expected_rate))
+  return resample_poly(samples, expected_rate // g,
+                       rate // g).astype(np.float32)
+
+
+def read_wav(path, expected_rate: int) -> np.ndarray:
+  """Minimal WAV reader (PCM16/PCM32/float32), mono-mixed, resampled.
+
+  `path` may be a filename or a binary file object.
+  """
   with wave.open(path, 'rb') as w:
     rate = w.getframerate()
     n = w.getnframes()
@@ -360,6 +387,166 @@ class TFRecordDataSource(DataSource):
           ns.id = features['id'][0].decode()
         audio = np.asarray(features['audio'], np.float32)
         yield {'sequence': ns, 'audio': audio}
+
+
+class PitchBendError(Exception):
+  """Raised when a track has pitch bends we cannot represent."""
+
+
+def _merge_track(ns: NoteSequence, track: NoteSequence, program: int,
+                 is_drum: bool, ignore_pitch_bends: bool) -> None:
+  """Merge one instrument track into `ns` with an assigned program.
+
+  Sustain pedal is resolved per track before merging; pitch bends are an
+  error unless ignored (reference preprocessors.py:470-486).
+  """
+  from mt3_tpu.core import sustain
+  if track.pitch_bends and not ignore_pitch_bends:
+    raise PitchBendError()
+  track = sustain.apply_sustain_control_changes(track)
+  for note in track.notes:
+    note.program = program
+    note.is_drum = is_drum
+    ns.notes.append(note)
+    ns.total_time = max(ns.total_time, note.end_time)
+
+
+class ReferenceTFRecordDataSource(DataSource):
+  """Reads the reference corpora's actual TFRecord schemas.
+
+  The reference datasets (/root/reference/mt3/datasets.py:55-323) are
+  TFRecords of tf.train.Example whose 'sequence'/'note_sequences'
+  features hold serialized NoteSequence protos.  Schema families:
+
+    * 'wav_proto'     audio=WAV bytes, sequence=proto, id
+                      (MAESTRO v1/v3)
+    * 'samples_proto' audio=float samples, sample_rate, sequence=proto,
+                      id (MusicNet, MusicNetEM)
+    * 'wav_tracks'    audio=WAV bytes, instrument_sequences=[proto...],
+                      inst_names, id (URMP; GuitarSet via its single
+                      'sequence' + constant 'Clean Guitar' name)
+    * 'mix_tracks'    mix=float samples, audio_sample_rate,
+                      note_sequences=[proto...], inst_names, track_id
+                      (Slakh2100, Cerberus4)
+
+  Program numbers for track schemas come from the corpus lookup
+  (program_maps) or the config's track_specs (Cerberus4).
+  """
+
+  def __init__(self, config: DatasetConfig, paths,
+               spectrogram_config=SpectrogramConfig(),
+               is_training: bool = False,
+               ignore_pitch_bends: bool = True):
+    if isinstance(paths, str):
+      paths = [paths]
+    self.config = config
+    self.paths = list(paths)
+    self.spectrogram_config = spectrogram_config
+    self.sample_rate = spectrogram_config.sample_rate
+    self.is_training = is_training
+    self.ignore_pitch_bends = ignore_pitch_bends
+    self._len = None
+
+  def __len__(self):
+    if self._len is None:
+      from mt3_tpu.data import tfrecord
+      self._len = sum(
+          sum(1 for _ in tfrecord.read_records(p)) for p in self.paths)
+    return self._len
+
+  def _program_for(self, inst_name: str):
+    from mt3_tpu.data import program_maps
+    name = self.config.name
+    if name == 'guitarset':
+      return program_maps.guitarset_instrument_to_program(inst_name), False
+    if name == 'urmp':
+      return program_maps.urmp_instrument_to_program(inst_name), False
+    return program_maps.slakh_class_to_program_and_is_drum(inst_name)
+
+  def _merge_tracks(self, protos, inst_names) -> Optional[NoteSequence]:
+    from mt3_tpu.codec import note_events
+    from mt3_tpu.core import noteseq_proto
+    ns = NoteSequence(ticks_per_quarter=220)
+    tracks = [noteseq_proto.notesequence_from_bytes(p) for p in protos]
+    if len(tracks) != len(inst_names):
+      raise ValueError('track/instrument count mismatch: %d vs %d' %
+                       (len(tracks), len(inst_names)))
+    try:
+      if self.config.track_specs:
+        if len(tracks) != len(self.config.track_specs):
+          raise ValueError('expected %d tracks, got %d' %
+                           (len(self.config.track_specs), len(tracks)))
+        for track, spec, inst_name in zip(tracks, self.config.track_specs,
+                                          inst_names):
+          if inst_name != spec.name:
+            raise ValueError('unexpected instrument: %s != %s' %
+                             (inst_name, spec.name))
+          _merge_track(ns, track, spec.program, spec.is_drum,
+                       self.ignore_pitch_bends)
+      else:
+        for track, inst_name in zip(tracks, inst_names):
+          program, is_drum = self._program_for(inst_name)
+          _merge_track(ns, track, program, is_drum,
+                       self.ignore_pitch_bends)
+    except PitchBendError:
+      return None  # skip examples with unrepresentable pitch bends
+    note_events.assign_instruments(ns)
+    note_events.validate_note_sequence(ns)
+    if self.is_training:
+      # The event vocabulary cannot represent overlapping same-pitch
+      # notes; trim for training, keep intact for eval.
+      ns = note_events.trim_overlapping_notes(ns)
+    return ns
+
+  def _decode_example(self, features) -> Optional[Dict]:
+    from mt3_tpu.core import noteseq_proto
+    schema = self.config.schema
+    if schema == 'wav_proto':
+      ns = noteseq_proto.notesequence_from_bytes(
+          bytes(features['sequence'][0]))
+      audio = wav_bytes_to_samples(bytes(features['audio'][0]),
+                                   self.sample_rate)
+    elif schema == 'samples_proto':
+      ns = noteseq_proto.notesequence_from_bytes(
+          bytes(features['sequence'][0]))
+      rate = int(np.asarray(features['sample_rate']).reshape(-1)[0])
+      audio = resample_audio(np.asarray(features['audio'], np.float32),
+                             rate, self.sample_rate)
+    elif schema == 'wav_tracks':
+      if 'instrument_sequences' in features:
+        protos = [bytes(p) for p in features['instrument_sequences']]
+        names = [n.decode() for n in features['inst_names']]
+      else:
+        # GuitarSet: single 'sequence' + constant instrument
+        # (reference preprocessors.py:229-253).
+        protos = [bytes(features['sequence'][0])]
+        names = ['Clean Guitar']
+      ns = self._merge_tracks(protos, names)
+      audio = wav_bytes_to_samples(bytes(features['audio'][0]),
+                                   self.sample_rate)
+    elif schema == 'mix_tracks':
+      protos = [bytes(p) for p in features['note_sequences']]
+      names = [n.decode() for n in features['inst_names']]
+      ns = self._merge_tracks(protos, names)
+      rate = int(np.asarray(features['audio_sample_rate']).reshape(-1)[0])
+      audio = resample_audio(np.asarray(features['mix'], np.float32),
+                             rate, self.sample_rate)
+    else:
+      raise ValueError(f'unknown schema: {schema}')
+    if ns is None:
+      return None
+    for id_key in ('id', 'track_id'):
+      if id_key in features and not ns.id:
+        ns.id = features[id_key][0].decode()
+    return {'sequence': ns, 'audio': audio}
+
+  def examples(self):
+    from mt3_tpu.data import tfrecord
+    for path in self.paths:
+      for features in tfrecord.read_examples(path):
+        example = self._decode_example(features)
+        if example is not None:
+          yield example
 
 
 class MixtureSource(DataSource):

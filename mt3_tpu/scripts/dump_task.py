@@ -18,7 +18,12 @@ def main(argv=None):
   parser = argparse.ArgumentParser(description='Dump pipeline examples')
   parser.add_argument('--model', default='mt3',
                       choices=sorted(CONFIG_FACTORIES))
-  parser.add_argument('--data', default='synthetic')
+  parser.add_argument('--data', default='synthetic',
+                      help="'synthetic', a directory of (wav, mid) pairs, "
+                           'or reference-schema .tfrecord file(s)')
+  parser.add_argument('--dataset', default='maestrov3',
+                      help='corpus schema for .tfrecord inputs '
+                           '(see datasets.ALL_DATASET_CONFIGS)')
   parser.add_argument('--num_examples', type=int, default=2)
   parser.add_argument('--decode_targets', action='store_true',
                       help='print decoded event names for targets')
@@ -35,6 +40,10 @@ def main(argv=None):
   if args.data == 'synthetic':
     source = datasets.SyntheticDataSource(num_examples=args.num_examples,
                                           duration=3.0)
+  elif args.data.endswith('.tfrecord') or '.tfrecord-' in args.data:
+    source = datasets.ReferenceTFRecordDataSource(
+        datasets.ALL_DATASET_CONFIGS[args.dataset], args.data.split(','),
+        config.spectrogram, is_training=True)
   else:
     source = datasets.LocalPairsDataSource(args.data, config.spectrogram)
 

@@ -262,6 +262,112 @@ bool parse_example(const uint8_t* data, size_t len, ParsedExample* out) {
   return true;
 }
 
+// ---------------------------------------------------------------------
+// NoteSequence proto (note_seq music.proto subset used by MT3):
+// notes=8 {pitch=1, velocity=2, start=4, end=5, instrument=8, program=9,
+// is_drum=10}, total_time=9, control_changes=11 {time=1, number=2,
+// value=3, instrument=4, program=6, is_drum=7}, pitch_bends=10 {time=1,
+// bend=2, instrument=3, program=4, is_drum=5}, tempos=7 {time=1, qpm=2},
+// ticks_per_quarter=4, id=1.
+// ---------------------------------------------------------------------
+struct ParsedNoteSequence {
+  // Row-major numeric tables; column meanings documented per getter.
+  std::vector<double> notes;            // [n, 7]
+  std::vector<double> control_changes;  // [n, 6]
+  std::vector<double> pitch_bends;      // [n, 5]
+  std::vector<double> tempos;           // [n, 2]
+  double total_time = 0.0;
+  int ticks_per_quarter = 0;
+  std::string id;
+};
+
+bool read_double_value(const uint8_t*& p, const uint8_t* end, double* out) {
+  if (end - p < 8) return false;
+  memcpy(out, p, 8);
+  p += 8;
+  return true;
+}
+
+// Parse one sub-message whose fields are all either varint or double,
+// writing values into cols[field_to_col[field]] when mapped (-1 = skip).
+bool parse_numeric_message(Slice msg, const int* field_to_col,
+                           int max_field, double* cols, int num_cols) {
+  for (int i = 0; i < num_cols; ++i) cols[i] = 0.0;
+  const uint8_t* p = msg.data;
+  const uint8_t* end = msg.data + msg.len;
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    int field = static_cast<int>(tag >> 3);
+    uint32_t wire = tag & 7;
+    int col = (field >= 1 && field <= max_field) ? field_to_col[field] : -1;
+    if (wire == 0) {
+      uint64_t v;
+      if (!read_varint(p, end, &v)) return false;
+      if (col >= 0) cols[col] = static_cast<double>(static_cast<int64_t>(v));
+    } else if (wire == 1) {
+      double v;
+      if (!read_double_value(p, end, &v)) return false;
+      if (col >= 0) cols[col] = v;
+    } else {
+      if (!skip_field(p, end, wire)) return false;
+    }
+  }
+  return true;
+}
+
+bool parse_notesequence(const uint8_t* data, size_t len,
+                        ParsedNoteSequence* ns) {
+  // field -> column maps (index 0 unused).
+  static const int kNoteCols[11] = {-1, 0, 1, -1, 2, 3, -1, -1, 4, 5, 6};
+  static const int kCcCols[8] = {-1, 0, 1, 2, 3, -1, 4, 5};
+  static const int kPbCols[6] = {-1, 0, 1, 2, 3, 4};
+  static const int kTempoCols[3] = {-1, 0, 1};
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  double cols[8];
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    int field = static_cast<int>(tag >> 3);
+    uint32_t wire = tag & 7;
+    if (field == 8 && wire == 2) {  // notes
+      Slice msg;
+      if (!read_length_delimited(p, end, &msg)) return false;
+      if (!parse_numeric_message(msg, kNoteCols, 10, cols, 7)) return false;
+      ns->notes.insert(ns->notes.end(), cols, cols + 7);
+    } else if (field == 11 && wire == 2) {  // control_changes
+      Slice msg;
+      if (!read_length_delimited(p, end, &msg)) return false;
+      if (!parse_numeric_message(msg, kCcCols, 7, cols, 6)) return false;
+      ns->control_changes.insert(ns->control_changes.end(), cols, cols + 6);
+    } else if (field == 10 && wire == 2) {  // pitch_bends
+      Slice msg;
+      if (!read_length_delimited(p, end, &msg)) return false;
+      if (!parse_numeric_message(msg, kPbCols, 5, cols, 5)) return false;
+      ns->pitch_bends.insert(ns->pitch_bends.end(), cols, cols + 5);
+    } else if (field == 7 && wire == 2) {  // tempos
+      Slice msg;
+      if (!read_length_delimited(p, end, &msg)) return false;
+      if (!parse_numeric_message(msg, kTempoCols, 2, cols, 2)) return false;
+      ns->tempos.insert(ns->tempos.end(), cols, cols + 2);
+    } else if (field == 9 && wire == 1) {  // total_time
+      if (!read_double_value(p, end, &ns->total_time)) return false;
+    } else if (field == 4 && wire == 0) {  // ticks_per_quarter
+      uint64_t v;
+      if (!read_varint(p, end, &v)) return false;
+      ns->ticks_per_quarter = static_cast<int>(v);
+    } else if (field == 1 && wire == 2) {  // id
+      Slice msg;
+      if (!read_length_delimited(p, end, &msg)) return false;
+      ns->id.assign(reinterpret_cast<const char*>(msg.data), msg.len);
+    } else {
+      if (!skip_field(p, end, wire)) return false;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -396,6 +502,72 @@ void tfx_feature_name(void* handle, long idx, char* out, long out_len) {
     }
   }
   if (out_len > 0) out[0] = '\0';
+}
+
+// ------------------------- NoteSequence parse API ----------------------
+struct TfxNsHeader {
+  long num_notes;
+  long num_control_changes;
+  long num_pitch_bends;
+  long num_tempos;
+  double total_time;
+  int ticks_per_quarter;
+};
+
+void* tfx_parse_notesequence(const uint8_t* data, size_t len) {
+  ParsedNoteSequence* ns = new ParsedNoteSequence();
+  if (!parse_notesequence(data, len, ns)) {
+    delete ns;
+    return nullptr;
+  }
+  return ns;
+}
+
+void tfx_free_notesequence(void* handle) {
+  delete static_cast<ParsedNoteSequence*>(handle);
+}
+
+void tfx_ns_header(void* handle, TfxNsHeader* out) {
+  ParsedNoteSequence* ns = static_cast<ParsedNoteSequence*>(handle);
+  out->num_notes = static_cast<long>(ns->notes.size() / 7);
+  out->num_control_changes =
+      static_cast<long>(ns->control_changes.size() / 6);
+  out->num_pitch_bends = static_cast<long>(ns->pitch_bends.size() / 5);
+  out->num_tempos = static_cast<long>(ns->tempos.size() / 2);
+  out->total_time = ns->total_time;
+  out->ticks_per_quarter = ns->ticks_per_quarter;
+}
+
+// Columns: [pitch, velocity, start_time, end_time, instrument, program,
+// is_drum], row-major.
+void tfx_ns_notes(void* handle, double* out) {
+  ParsedNoteSequence* ns = static_cast<ParsedNoteSequence*>(handle);
+  memcpy(out, ns->notes.data(), ns->notes.size() * sizeof(double));
+}
+
+// Columns: [time, control_number, control_value, instrument, program,
+// is_drum].
+void tfx_ns_control_changes(void* handle, double* out) {
+  ParsedNoteSequence* ns = static_cast<ParsedNoteSequence*>(handle);
+  memcpy(out, ns->control_changes.data(),
+         ns->control_changes.size() * sizeof(double));
+}
+
+// Columns: [time, bend, instrument, program, is_drum].
+void tfx_ns_pitch_bends(void* handle, double* out) {
+  ParsedNoteSequence* ns = static_cast<ParsedNoteSequence*>(handle);
+  memcpy(out, ns->pitch_bends.data(),
+         ns->pitch_bends.size() * sizeof(double));
+}
+
+// Columns: [time, qpm].
+void tfx_ns_tempos(void* handle, double* out) {
+  ParsedNoteSequence* ns = static_cast<ParsedNoteSequence*>(handle);
+  memcpy(out, ns->tempos.data(), ns->tempos.size() * sizeof(double));
+}
+
+const char* tfx_ns_id(void* handle) {
+  return static_cast<ParsedNoteSequence*>(handle)->id.c_str();
 }
 
 }  // extern "C"

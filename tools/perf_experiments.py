@@ -52,6 +52,11 @@ def main():
                       choices=sorted(VARIANTS))
   parser.add_argument('--batch', type=int, default=256)
   parser.add_argument('--iters', type=int, default=2)
+  parser.add_argument('--steps_per_iter', type=int, default=1,
+                      help='decode steps unrolled per while_loop iteration')
+  parser.add_argument('--profile', default=None,
+                      help='capture a jax profiler trace to this directory '
+                           'around one timed iteration')
   args = parser.parse_args()
 
   variant = VARIANTS[args.variant]
@@ -78,20 +83,30 @@ def main():
     encoded = t5.encode(params, model_config, mel)
     return decode.decode_tokens(params, model_config, encoded,
                                 run.targets_length, forbid_eos=True,
-                                bucket_size=bucket)
+                                bucket_size=bucket,
+                                steps_per_iter=args.steps_per_iter)
 
+  tag = f'{args.variant} batch={args.batch} spi={args.steps_per_iter}'
   t0 = time.perf_counter()
   np.asarray(transcribe(params, frames)[0])
-  print(f'{args.variant} batch={args.batch}: compile+run '
-        f'{time.perf_counter() - t0:.1f}s', flush=True)
+  print(f'{tag}: compile+run {time.perf_counter() - t0:.1f}s', flush=True)
   times = []
   for _ in range(args.iters):
     t0 = time.perf_counter()
     np.asarray(transcribe(params, frames)[0])
     times.append(time.perf_counter() - t0)
   dt = min(times)
-  print(f'{args.variant} batch={args.batch}: {dt * 1000:.0f} ms '
+  print(f'{tag}: {dt * 1000:.0f} ms '
         f'-> {args.batch * 2.048 / dt:.1f} audio_s/s', flush=True)
+
+  if args.profile:
+    jax.profiler.start_trace(args.profile)
+    t0 = time.perf_counter()
+    np.asarray(transcribe(params, frames)[0])
+    dt = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    print(f'{tag}: profiled iter {dt * 1000:.0f} ms -> trace in '
+          f'{args.profile}', flush=True)
 
 
 if __name__ == '__main__':
