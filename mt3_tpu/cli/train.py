@@ -35,6 +35,16 @@ def main(argv=None):
                            'checkpoint_dir')
   parser.add_argument('--eval_period', type=int, default=0,
                       help='run transcription eval every N steps')
+  parser.add_argument('--eval_data', default=None,
+                      help='held-out eval data (same formats as --data); '
+                           'defaults to a held-out synthetic split')
+  parser.add_argument('--eval_examples', type=int, default=4)
+  parser.add_argument('--cache_dir', default=None,
+                      help='offline tokenization cache directory; built '
+                           'on first use if empty (reference tasks.py:150 '
+                           'CacheDatasetPlaceholder analog)')
+  parser.add_argument('--log_dir', default=None,
+                      help='TensorBoard event + metrics.jsonl directory')
   parser.add_argument('--num_model_partitions', type=int, default=1)
   parser.add_argument('--log_every', type=int, default=10)
   parser.add_argument('--seed', type=int, default=0)
@@ -69,8 +79,21 @@ def main(argv=None):
       batch_size=batch_size, onsets_only=run.onsets_only,
       include_ties=run.use_ties,
       program_granularity=run.program_granularity, seed=args.seed)
-  batches = pipeline.prefetch(pipeline.train_batches(
-      source.examples(), config.spectrogram, codec, vocab, pipe_cfg))
+  if args.cache_dir:
+    import os
+    if not any(f.startswith('cache-') for f in (
+        os.listdir(args.cache_dir) if os.path.isdir(args.cache_dir)
+        else ())):
+      n = pipeline.build_segment_cache(
+          source.examples(), config.spectrogram, codec, args.cache_dir,
+          onsets_only=run.onsets_only, include_ties=run.use_ties)
+      print(f'built segment cache: {n} segments -> {args.cache_dir}',
+            file=sys.stderr)
+    batches = pipeline.prefetch(pipeline.train_batches_from_cache(
+        args.cache_dir, codec, vocab, pipe_cfg))
+  else:
+    batches = pipeline.prefetch(pipeline.train_batches(
+        source.examples(), config.spectrogram, codec, vocab, pipe_cfg))
 
   mesh = None
   if len(jax.devices()) > 1:
@@ -104,13 +127,41 @@ def main(argv=None):
         'decoder_loss_weights': batch['decoder_loss_weights'],
     }
 
+  # Held-out eval split (reference gin/train.gin:89-97: seqio.Evaluator
+  # every eval_period steps over the eval tasks, logging the full metric
+  # family to TensorBoard + JSON).
+  if args.eval_data:
+    eval_source = datasets.LocalPairsDataSource(args.eval_data,
+                                                config.spectrogram)
+  elif args.data == 'synthetic':
+    eval_source = datasets.SyntheticDataSource(
+        num_examples=args.eval_examples, duration=4.0,
+        sample_rate=config.spectrogram.sample_rate, seed=args.seed + 1)
+  else:
+    eval_source = source
+
+  tb_writer = None
+  metrics_path = None
+  if args.log_dir:
+    import os
+    from mt3_tpu.utils import tensorboard as tb_lib
+    os.makedirs(args.log_dir, exist_ok=True)
+    tb_writer = tb_lib.SummaryWriter(args.log_dir)
+    metrics_path = os.path.join(args.log_dir, 'metrics.jsonl')
+
   def run_eval(step):
     from mt3_tpu.eval import evaluator
     from mt3_tpu.infer import transcribe as transcribe_lib
     transcriber = transcribe_lib.Transcriber(config, tr.state.params)
-    eval_examples = list(source.examples())[:4]
+    eval_examples = list(eval_source.examples())[:args.eval_examples]
     scores = evaluator.evaluate_dataset(eval_examples, transcriber)
-    print(f'eval@{step}: onset F1 = {scores.get("Onset F1", 0):.4f}',
+    print(f'eval@{step}: onset F1 = {scores.get("Onset F1", 0):.4f} '
+          f'onset+offset F1 = '
+          f'{scores.get("Onset & offset F1", 0):.4f}', file=sys.stderr)
+    if tb_writer is not None:
+      tb_writer.add_scalars(
+          {f'eval/{k}': float(v) for k, v in scores.items()}, step)
+    print(evaluator.write_metrics(scores, metrics_path, step=step),
           file=sys.stderr)
 
   ckpt_period = args.checkpoint_period or run.checkpoint_period
@@ -125,6 +176,9 @@ def main(argv=None):
             f'lr={float(metrics["learning_rate"]):.2e} '
             f'({(step - start_step + 1) / max(elapsed, 1e-9):.2f} '
             f'steps/s)', file=sys.stderr)
+      if tb_writer is not None:
+        tb_writer.add_scalars(
+            {f'train/{k}': float(v) for k, v in metrics.items()}, step)
     if args.checkpoint_dir and (step + 1) % ckpt_period == 0:
       print(f'saved checkpoint: {tr.save(args.checkpoint_dir)}',
             file=sys.stderr)

@@ -233,6 +233,169 @@ def prepare_train_example(
   }
 
 
+# ---------------------------------------------------------------------------
+# Offline tokenization cache (reference tasks.py:36,150:
+# CacheDatasetPlaceholder after tokenize+split — host tokenization is far
+# too slow to redo per epoch at production batch sizes).
+# ---------------------------------------------------------------------------
+def _segment_to_record(segment: Features) -> bytes:
+  """Serialize one post-split_tokens segment for the on-disk cache.
+
+  Targets and index maps are rebased to the segment's own event range so
+  each record is self-contained (no duplication of the full example's
+  target stream across its segments).
+  """
+  from mt3_tpu.data import tfrecord
+  start = int(segment['input_event_start_indices'][0])
+  end = int(segment['input_event_end_indices'][-1])
+  inputs = np.asarray(segment['inputs'], np.float32)
+  return tfrecord.make_example({
+      'inputs': inputs.reshape(-1),
+      'inputs_shape': np.asarray(inputs.shape, np.int64),
+      'targets': np.asarray(segment['targets'][start:end], np.int64),
+      'input_event_start_indices': np.asarray(
+          segment['input_event_start_indices'], np.int64) - start,
+      'input_event_end_indices': np.asarray(
+          segment['input_event_end_indices'], np.int64) - start,
+      'state_events': np.asarray(segment['state_events'], np.int64),
+      'input_state_event_indices': np.asarray(
+          segment['input_state_event_indices'], np.int64),
+  })
+
+
+def _record_to_segment(features) -> Features:
+  shape = tuple(np.asarray(features['inputs_shape'], np.int64))
+  return {
+      'inputs': np.asarray(features['inputs'],
+                           np.float32).reshape(shape),
+      'targets': np.asarray(features['targets'], np.int32),
+      'input_event_start_indices': np.asarray(
+          features['input_event_start_indices'], np.int32),
+      'input_event_end_indices': np.asarray(
+          features['input_event_end_indices'], np.int32),
+      'state_events': np.asarray(features['state_events'], np.int32),
+      'input_state_event_indices': np.asarray(
+          features['input_state_event_indices'], np.int32),
+  }
+
+
+def build_segment_cache(
+    examples: Iterable[Features],
+    spectrogram_config: SpectrogramConfig,
+    codec: event_codec.Codec,
+    cache_dir: str,
+    onsets_only: bool = False,
+    include_ties: bool = True,
+    shard_size: int = 512,
+) -> int:
+  """Tokenize examples and persist post-split segments as TFRecords.
+
+  One-time preprocessing (the seqio offline-cache analog): subsequent
+  training epochs read fixed-size segments straight from disk instead of
+  re-running resampling + event indexing.  Returns the segment count.
+  """
+  import os
+  from mt3_tpu.data import tfrecord
+  os.makedirs(cache_dir, exist_ok=True)
+  num_segments = 0
+  shard_idx = 0
+  shard: List[bytes] = []
+
+  def flush():
+    nonlocal shard_idx, shard
+    if shard:
+      tfrecord.write_records(
+          os.path.join(cache_dir, f'cache-{shard_idx:05d}.tfrecord'), shard)
+      shard_idx += 1
+      shard = []
+
+  for example in examples:
+    features = tokenize_example(
+        example['sequence'], example['audio'], spectrogram_config, codec,
+        onsets_only=onsets_only, include_ties=include_ties)
+    for segment in split_tokens(features):
+      shard.append(_segment_to_record(segment))
+      num_segments += 1
+      if len(shard) >= shard_size:
+        flush()
+  flush()
+  return num_segments
+
+
+def cached_segments(cache_dir: str,
+                    rng: Optional[np.random.RandomState] = None,
+                    shuffle_buffer: int = 1024) -> Iterator[Features]:
+  """One pass over a segment cache; shard-shuffled + buffer-shuffled."""
+  import os
+  from mt3_tpu.data import tfrecord
+  shards = sorted(f for f in os.listdir(cache_dir)
+                  if f.startswith('cache-') and f.endswith('.tfrecord'))
+  if not shards:
+    raise ValueError(f'no cache shards in {cache_dir}')
+  order = (rng.permutation(len(shards)) if rng is not None
+           else range(len(shards)))
+  buffer: List[Features] = []
+  for i in order:
+    for features in tfrecord.read_examples(
+        os.path.join(cache_dir, shards[i])):
+      segment = _record_to_segment(features)
+      if rng is None:
+        yield segment
+        continue
+      buffer.append(segment)
+      if len(buffer) >= shuffle_buffer:
+        j = int(rng.randint(len(buffer)))
+        buffer[j], buffer[-1] = buffer[-1], buffer[j]
+        yield buffer.pop()
+  if rng is not None:
+    while buffer:
+      j = int(rng.randint(len(buffer)))
+      buffer[j], buffer[-1] = buffer[-1], buffer[j]
+      yield buffer.pop()
+
+
+def train_batches_from_cache(
+    cache_dir: str,
+    codec: event_codec.Codec,
+    vocab: vocabulary.GenericTokenVocabulary,
+    pipeline_config: 'TrainPipelineConfig',
+) -> Iterator[Dict[str, np.ndarray]]:
+  """Infinite batch iterator over an offline segment cache.
+
+  The per-epoch host work is just record decode + random crop + RLE of
+  the cropped targets — the expensive tokenization (resample, event
+  indexing) happened once in build_segment_cache.
+  """
+  rng = np.random.RandomState(pipeline_config.seed)
+  batch = []
+  while True:
+    for segment in cached_segments(cache_dir, rng):
+      ex = prepare_train_example(
+          segment, codec, vocab,
+          pipeline_config.inputs_length, pipeline_config.targets_length,
+          rng, include_ties=pipeline_config.include_ties,
+          program_granularity=pipeline_config.program_granularity)
+      if ex is None:
+        continue
+      batch.append(ex)
+      if len(batch) == pipeline_config.batch_size:
+        yield _stack_batch(batch)
+        batch = []
+
+
+def _stack_batch(batch: List[Features]) -> Dict[str, np.ndarray]:
+  return {
+      'encoder_input_frames': np.stack(
+          [b['encoder_input_frames'] for b in batch]),
+      'decoder_target_tokens': np.stack(
+          [b['decoder_target_tokens'] for b in batch]),
+      'decoder_input_tokens': np.stack(
+          [b['decoder_input_tokens'] for b in batch]),
+      'decoder_loss_weights': np.stack(
+          [b['decoder_loss_weights'] for b in batch]),
+  }
+
+
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
   """Run `iterator` in a background thread with a bounded queue.
 

@@ -13,11 +13,10 @@ import time
 from typing import Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
 from mt3_tpu.core.config import MT3Config
 from mt3_tpu.eval import metrics as metrics_lib
-from mt3_tpu.infer import postprocess, transcribe
+from mt3_tpu.infer import transcribe
 
 
 def evaluate_dataset(
@@ -34,20 +33,9 @@ def evaluate_dataset(
   for unique_id, example in enumerate(examples):
     targets.append({'unique_id': unique_id,
                     'ref_ns': example['sequence']})
-    for batch in transcribe.audio_to_segments(example['audio'], config):
-      tokens, _ = transcribe._transcribe_batch(
-          transcriber.params, config.model, config.spectrogram,
-          np.asarray(batch.frames), config.run.targets_length,
-          transcriber.temperature, jax.random.PRNGKey(unique_id))
-      decoded = transcriber.vocab.decode_array(np.asarray(tokens))
-      for row, start_time, valid in zip(decoded, batch.start_times,
-                                        batch.valid):
-        if not valid:
-          continue
-        pred = postprocess.postprocess_prediction(
-            row, start_time, codec,
-            raw_inputs=np.zeros((0,), np.float32), unique_id=unique_id)
-        predictions.append(pred)
+    predictions.extend(transcriber.predict_segments(
+        example['audio'], rng=jax.random.PRNGKey(unique_id),
+        unique_id=unique_id))
 
   return metrics_lib.transcription_metrics(
       targets, predictions, codec=codec,

@@ -149,9 +149,16 @@ class Transcriber:
                rng: Optional[jax.Array] = None) -> NoteSequence:
     return self.transcribe(audio, rng=rng)['est_ns']
 
-  def transcribe(self, audio: np.ndarray,
-                 rng: Optional[jax.Array] = None):
-    """Transcribe a full waveform; returns the combined result dict."""
+  def predict_segments(self, audio: np.ndarray,
+                       rng: Optional[jax.Array] = None,
+                       unique_id: int = 0):
+    """Per-segment token predictions for a waveform (public batched path).
+
+    Returns the list of postprocessed per-segment prediction dicts —
+    the shared plumbing under transcribe() and the evaluator
+    (eval/evaluator.py): batched EOS early exit, async dispatch, and
+    mesh sharding all live here.
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
     # Phase 1: dispatch every batch asynchronously; the device works
@@ -182,8 +189,13 @@ class Transcriber:
           continue
         predictions.append(postprocess.postprocess_prediction(
             row, start_time, self.codec,
-            raw_inputs=np.zeros((0,), np.float32)))
+            raw_inputs=np.zeros((0,), np.float32),
+            unique_id=unique_id))
+    return predictions
 
-    result = postprocess.event_predictions_to_ns(
+  def transcribe(self, audio: np.ndarray,
+                 rng: Optional[jax.Array] = None):
+    """Transcribe a full waveform; returns the combined result dict."""
+    predictions = self.predict_segments(audio, rng=rng)
+    return postprocess.event_predictions_to_ns(
         predictions, self.codec, self.encoding_spec)
-    return result

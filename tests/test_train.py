@@ -210,3 +210,44 @@ def test_tensorboard_logging_in_train_flow(model_config, run_config,
   writer.close()
   import os
   assert os.path.getsize(writer.path) > 0
+
+
+def test_train_cli_with_cache_eval_and_logging(tmp_path):
+  """Full CLI flow: cache build -> train from cache -> periodic eval
+  producing the metric family + TB events + JSON lines
+  (reference gin/train.gin:89-97)."""
+  import json
+  import os
+
+  from mt3_tpu.cli import train as train_cli
+
+  cache_dir = str(tmp_path / 'cache')
+  log_dir = str(tmp_path / 'logs')
+  train_cli.main([
+      '--model', 'tiny', '--data', 'synthetic', '--steps', '2',
+      '--batch_size', '8', '--eval_period', '2', '--eval_examples', '1',
+      '--cache_dir', cache_dir, '--log_dir', log_dir,
+  ])
+  assert any(f.startswith('cache-') for f in os.listdir(cache_dir))
+  assert any(f.startswith('events.out.tfevents')
+             for f in os.listdir(log_dir))
+  with open(os.path.join(log_dir, 'metrics.jsonl')) as f:
+    records = [json.loads(line) for line in f]
+  assert len(records) == 1 and records[0]['step'] == 2
+  # The full metric family is present (onset, offset, velocity, program
+  # granularities, frame metrics, tolerance sweep).
+  keys = set(records[0])
+  for expected in ('Onset F1', 'Onset + offset F1',
+                   'Onset + offset + velocity F1', 'Frame F1',
+                   'Onset + offset + program F1 (full)',
+                   'Onset + offset F1 (0.05)'):
+    assert expected in keys, expected
+
+  # Second invocation reuses the existing cache (no rebuild).
+  mtime = os.path.getmtime(os.path.join(cache_dir, 'cache-00000.tfrecord'))
+  train_cli.main([
+      '--model', 'tiny', '--data', 'synthetic', '--steps', '1',
+      '--batch_size', '8', '--cache_dir', cache_dir,
+  ])
+  assert os.path.getmtime(
+      os.path.join(cache_dir, 'cache-00000.tfrecord')) == mtime
