@@ -140,6 +140,11 @@ class ModelConfig:
   # Rematerialize each transformer layer in the backward pass (trades
   # FLOPs for activation memory; enables large-batch training).
   remat: bool = False
+  # Remat policy when remat=True: 'full' recomputes everything;
+  # 'dots' saves matmul outputs and recomputes only cheap elementwise
+  # ops (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) —
+  # much less recompute for a modest memory increase.
+  remat_policy: str = 'full'
   # int8-quantize the decoder KV cache (per-(batch,head,position)
   # scales): halves decode cache read traffic, ~0.4% RMS quantization
   # error on K/V.

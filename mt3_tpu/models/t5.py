@@ -159,6 +159,17 @@ def init_params(key: Array, config: ModelConfig) -> Tuple[PyTree, PyTree]:
   return params, axes
 
 
+
+def _maybe_remat(fn, config: ModelConfig):
+  """Wrap a scan body in jax.checkpoint per config.remat / remat_policy."""
+  if not config.remat:
+    return fn
+  if getattr(config, 'remat_policy', 'full') == 'dots':
+    return jax.checkpoint(
+        fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+  return jax.checkpoint(fn)
+
+
 # ---------------------------------------------------------------------------
 # Dropout helper
 # ---------------------------------------------------------------------------
@@ -224,14 +235,13 @@ def encode(params: PyTree, config: ModelConfig, encoder_input: Array,
     return x, None
 
   if have_rng:
-    body = (jax.checkpoint(encoder_layer) if config.remat
-            else encoder_layer)
+    body = _maybe_remat(encoder_layer, config)
     x, _ = jax.lax.scan(body, x,
                         (params['encoder']['layers'], layer_rng_stack))
   else:
     def no_rng_layer(x, layer_params):
       return encoder_layer(x, (layer_params, None))
-    body = jax.checkpoint(no_rng_layer) if config.remat else no_rng_layer
+    body = _maybe_remat(no_rng_layer, config)
     x, _ = jax.lax.scan(body, x, params['encoder']['layers'])
 
   x = layers.rms_norm(params['encoder']['norm'], x, dtype=dtype)
@@ -316,14 +326,13 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
     return y, None
 
   if have_rng:
-    body = (jax.checkpoint(decoder_layer) if config.remat
-            else decoder_layer)
+    body = _maybe_remat(decoder_layer, config)
     y, _ = jax.lax.scan(body, y,
                         (params['decoder']['layers'], layer_rng_stack))
   else:
     def no_rng_layer(y, layer_params):
       return decoder_layer(y, (layer_params, None))
-    body = jax.checkpoint(no_rng_layer) if config.remat else no_rng_layer
+    body = _maybe_remat(no_rng_layer, config)
     y, _ = jax.lax.scan(body, y, params['decoder']['layers'])
 
   y = layers.rms_norm(params['decoder']['norm'], y, dtype=dtype)

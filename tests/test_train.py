@@ -174,10 +174,12 @@ def test_trainer_save_restore_resume(model_config, run_config, tmp_path):
                              float(after_four['loss']), rtol=1e-6)
 
 
-def test_remat_matches_no_remat(model_config, run_config):
+@pytest.mark.parametrize('policy', ['full', 'dots'])
+def test_remat_matches_no_remat(model_config, run_config, policy):
   """jax.checkpoint on layer scans must not change the update math."""
   from mt3_tpu.core.config import ModelConfig
-  remat_config = ModelConfig(**{**model_config.__dict__, 'remat': True})
+  remat_config = ModelConfig(**{**model_config.__dict__, 'remat': True,
+                                'remat_policy': policy})
   rng = np.random.RandomState(0)
   batch = trainer.make_train_batch(
       rng, 4, run_config.inputs_length, run_config.targets_length,

@@ -28,6 +28,8 @@ def main():
   parser.add_argument('--batch', type=int, default=64)
   parser.add_argument('--bf16', action='store_true')
   parser.add_argument('--remat', action='store_true')
+  parser.add_argument('--remat_policy', default='full',
+                      choices=['full', 'dots'])
   parser.add_argument('--iters', type=int, default=5)
   args = parser.parse_args()
 
@@ -35,7 +37,7 @@ def main():
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__,
       'dtype': 'bfloat16' if args.bf16 else 'float32',
-      'remat': args.remat})
+      'remat': args.remat, 'remat_policy': args.remat_policy})
   run = config.run
 
   tr = trainer_lib.Trainer(model_config=model_config, run_config=run)
@@ -67,7 +69,8 @@ def main():
       tr.state.params))
   tokens = args.batch * (run.inputs_length + run.targets_length)
   flops = 6 * n_params * tokens
-  print(f'batch={args.batch} bf16={args.bf16} remat={args.remat}: '
+  print(f'batch={args.batch} bf16={args.bf16} remat={args.remat}'
+        f'/{args.remat_policy}: '
         f'{dt * 1000:.0f} ms/step, {1 / dt:.2f} steps/s, '
         f'{tokens / dt / 1e6:.2f}M tokens/s, '
         f'~{flops / dt / 1e12:.1f} TFLOP/s', flush=True)
