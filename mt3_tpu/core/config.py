@@ -149,6 +149,10 @@ class ModelConfig:
   # scales): halves decode cache read traffic, ~0.4% RMS quantization
   # error on K/V.
   decode_kv_quantize: bool = False
+  # int8-quantize the cross-attention K/V (projected once per segment,
+  # re-read every decode step — the dominant FIXED per-step HBM cost:
+  # ~0.8 GB/step at batch 256).  Same per-(b,h,position) scale scheme.
+  decode_cross_kv_quantize: bool = False
   # Grouped-query attention: number of K/V heads (None = num_heads,
   # standard multi-head).  Cuts decode KV-cache traffic by
   # num_heads/num_kv_heads; for from-scratch training only (published

@@ -110,7 +110,9 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     bucket_end = min(bucket_end, max_decode_len)
     state = t5.DecodeState(
         cache=layers.grow_kv_cache(state.cache, bucket_end),
-        cross_k=state.cross_k, cross_v=state.cross_v, index=state.index)
+        cross_k=state.cross_k, cross_v=state.cross_v, index=state.index,
+        cross_k_scale=state.cross_k_scale,
+        cross_v_scale=state.cross_v_scale)
 
     def cond(carry, _bucket_end=bucket_end):
       _, _, _, done, step, _ = carry

@@ -417,16 +417,28 @@ def attention_decode_step(
   return out, cache_k, cache_v
 
 
+def quantize_kv_sequence(x: Array) -> Tuple[Array, Array]:
+  """Symmetric per-(..., position) int8 quantization of [..., d, len]."""
+  scale = jnp.max(jnp.abs(x), axis=-2) / 127.0          # [..., len]
+  scale = jnp.maximum(scale, 1e-8)
+  q = jnp.round(x / scale[..., None, :]).astype(jnp.int8)
+  return q, scale.astype(jnp.float32)
+
+
 def cross_attention_decode_step(
     params: PyTree, x: Array, keys: Array, values: Array,
     num_heads: int, head_dim: int, dtype=jnp.float32,
-    num_kv_heads: Optional[int] = None) -> Array:
+    num_kv_heads: Optional[int] = None,
+    key_scale: Optional[Array] = None,
+    value_scale: Optional[Array] = None) -> Array:
   """Single-position cross-attention over precomputed encoder K/V.
 
   x: [b, emb]; keys/values: [b, kv, d, enc_len] projected once per
   segment (same lane-dense layout as the self-attention cache: enc_len on
   the minor axis avoids the 2x lane padding a trailing head_dim=64
-  causes).
+  causes).  With key_scale/value_scale [b, kv, enc_len], keys/values are
+  int8 and dequantization folds into the einsums (halves the dominant
+  fixed per-step HBM read).
   """
   b = x.shape[0]
   kv_heads = num_kv_heads or num_heads
@@ -435,19 +447,28 @@ def cross_attention_decode_step(
     query = dense(params['query'], x, dtype).reshape(
         b, num_heads, head_dim)
     logits = jnp.einsum(
-        'bhd,bhdk->bhk', query, keys,
+        'bhd,bhdk->bhk', query, keys.astype(dtype),
         precision=matmul_precision(dtype)).astype(jnp.float32)
+    if key_scale is not None:
+      logits = logits * key_scale
     weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum('bhk,bhdk->bhd', weights, values,
+    if value_scale is not None:
+      weights = (weights.astype(jnp.float32) * value_scale).astype(dtype)
+    out = jnp.einsum('bhk,bhdk->bhd', weights, values.astype(dtype),
                      precision=matmul_precision(dtype))
   else:
     query = dense(params['query'], x, dtype).reshape(
         b, kv_heads, group, head_dim)
     logits = jnp.einsum(
-        'bkgd,bkde->bkge', query, keys,
+        'bkgd,bkde->bkge', query, keys.astype(dtype),
         precision=matmul_precision(dtype)).astype(jnp.float32)
+    if key_scale is not None:
+      logits = logits * key_scale[:, :, None, :]
     weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum('bkge,bkde->bkgd', weights, values,
+    if value_scale is not None:
+      weights = (weights.astype(jnp.float32)
+                 * value_scale[:, :, None, :]).astype(dtype)
+    out = jnp.einsum('bkge,bkde->bkgd', weights, values.astype(dtype),
                      precision=matmul_precision(dtype))
   return dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
 

@@ -360,14 +360,17 @@ def forward(params: PyTree, config: ModelConfig, encoder_input: Array,
 class DecodeState:
   """Carried state for single-step autoregressive decoding."""
   cache: KVCache        # self-attention KV cache [L, b, h, d, max_len]
-  cross_k: Array        # [L, b, h, d, enc_len]
+  cross_k: Array        # [L, b, h, d, enc_len] (bf16 or int8)
   cross_v: Array        # [L, b, h, d, enc_len]
   index: Array          # scalar int32: current position
+  cross_k_scale: Optional[Array] = None   # [L, b, h, enc_len] (int8 only)
+  cross_v_scale: Optional[Array] = None
 
 
 jax.tree_util.register_dataclass(
     DecodeState,
-    data_fields=['cache', 'cross_k', 'cross_v', 'index'],
+    data_fields=['cache', 'cross_k', 'cross_v', 'index',
+                 'cross_k_scale', 'cross_v_scale'],
     meta_fields=[])
 
 jax.tree_util.register_dataclass(
@@ -399,12 +402,19 @@ def init_decode_state(params: PyTree, config: ModelConfig,
       lambda carry, lp: project(lp, carry), None,
       params['decoder']['layers'])
 
+  cross_k_scale = cross_v_scale = None
+  if getattr(config, 'decode_cross_kv_quantize', False):
+    cross_k, cross_k_scale = layers.quantize_kv_sequence(cross_k)
+    cross_v, cross_v_scale = layers.quantize_kv_sequence(cross_v)
+
   cache = layers.init_kv_cache(
       config.num_decoder_layers, b, config.kv_heads, config.head_dim,
       max_decode_len, dtype=dtype,
       quantized=config.decode_kv_quantize)
   return DecodeState(cache=cache, cross_k=cross_k, cross_v=cross_v,
-                     index=jnp.array(0, jnp.int32))
+                     index=jnp.array(0, jnp.int32),
+                     cross_k_scale=cross_k_scale,
+                     cross_v_scale=cross_v_scale)
 
 
 def decode_step(params: PyTree, config: ModelConfig, token: Array,
@@ -422,12 +432,8 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
   quantized = state.cache.quantized
 
   def layer_step(y, scan_in):
-    if quantized:
-      (layer_params, cache_k, cache_v, k_scale, v_scale,
-       cross_k, cross_v) = scan_in
-    else:
-      layer_params, cache_k, cache_v, cross_k, cross_v = scan_in
-      k_scale = v_scale = None
+    (layer_params, cache_k, cache_v, k_scale, v_scale,
+     cross_k, cross_v, cross_ks, cross_vs) = scan_in
     h = layers.rms_norm(layer_params['pre_self_attention_norm'], y,
                         dtype=dtype)
     result = layers.attention_decode_step(
@@ -447,32 +453,25 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
     h = layers.cross_attention_decode_step(
         layer_params['cross_attention'], h, cross_k, cross_v,
         config.num_heads, config.head_dim, dtype=dtype,
-        num_kv_heads=config.num_kv_heads)
+        num_kv_heads=config.num_kv_heads,
+        key_scale=cross_ks, value_scale=cross_vs)
     y = y + h
     h = layers.rms_norm(layer_params['pre_mlp_norm'], y, dtype=dtype)
     h = layers.gated_mlp(layer_params['mlp'], h, config.mlp_activations,
                          dtype=dtype)
     y = y + h
-    if quantized:
-      return y, (cache_k, cache_v, k_scale, v_scale)
-    return y, (cache_k, cache_v)
+    return y, (cache_k, cache_v, k_scale, v_scale)
 
   # Fully unrolled: the per-token step is latency-sensitive and unrolling
-  # lets XLA fuse across the (few) decoder layers.
-  if quantized:
-    y, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-        layer_step, y,
-        (params['decoder']['layers'], state.cache.key, state.cache.value,
-         state.cache.key_scale, state.cache.value_scale,
-         state.cross_k, state.cross_v),
-        unroll=True)
-  else:
-    y, (new_k, new_v) = jax.lax.scan(
-        layer_step, y,
-        (params['decoder']['layers'], state.cache.key, state.cache.value,
-         state.cross_k, state.cross_v),
-        unroll=True)
-    new_ks = new_vs = None
+  # lets XLA fuse across the (few) decoder layers.  None entries in xs/ys
+  # are empty pytrees, so the same scan covers all quantization configs.
+  y, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+      layer_step, y,
+      (params['decoder']['layers'], state.cache.key, state.cache.value,
+       state.cache.key_scale, state.cache.value_scale,
+       state.cross_k, state.cross_v,
+       state.cross_k_scale, state.cross_v_scale),
+      unroll=True)
 
   y = layers.rms_norm(params['decoder']['norm'], y, dtype=dtype)
   logits = layers.dense(params['decoder']['logits'], y, jnp.float32)
@@ -481,5 +480,7 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
       cache=KVCache(key=new_k, value=new_v, key_scale=new_ks,
                     value_scale=new_vs),
       cross_k=state.cross_k, cross_v=state.cross_v,
-      index=state.index + 1)
+      index=state.index + 1,
+      cross_k_scale=state.cross_k_scale,
+      cross_v_scale=state.cross_v_scale)
   return logits, new_state

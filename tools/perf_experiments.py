@@ -43,6 +43,9 @@ VARIANTS = {
     'xla_bucket64': ('dus', 'xla', 64),
     'int8': ('dus', 'xla', 128, True),
     'int8_bucket256': ('dus', 'xla', 256, True),
+    # int8 self-attn cache AND int8 cross-attention K/V (the fixed
+    # per-step HBM read).
+    'int8_cross': ('dus', 'xla', 128, True, True),
 }
 
 
@@ -62,12 +65,14 @@ def main():
   variant = VARIANTS[args.variant]
   cache_update, attn_impl, bucket = variant[:3]
   kv_quantize = len(variant) > 3 and variant[3]
+  cross_quantize = len(variant) > 4 and variant[4]
   config = config_lib.mt3_config()
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__, 'dtype': 'bfloat16',
       'decode_cache_update': cache_update,
       'decode_attention_impl': attn_impl,
-      'decode_kv_quantize': kv_quantize})
+      'decode_kv_quantize': kv_quantize,
+      'decode_cross_kv_quantize': cross_quantize})
   spec_config = config.spectrogram
   run = config.run
   params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
