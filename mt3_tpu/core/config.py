@@ -133,9 +133,9 @@ class ModelConfig:
   # or 'onehot' (broadcast-add, rewrites the cache every step).  dus
   # measures ~13% faster on v5e (PERF.md).
   decode_cache_update: str = 'dus'
-  # Decoder self-attention implementation during decode: 'xla' or
-  # 'pallas' (flash-decode kernel with prefix-proportional cache reads;
-  # TPU only).
+  # Decoder self-attention implementation during decode: 'xla'
+  # (production; fastest measured) or 'pallas_v3' (aliased in-place
+  # cache kernel, kept for TPU kernel coverage; see PERF.md).
   decode_attention_impl: str = 'xla'
   # Rematerialize each transformer layer in the backward pass (trades
   # FLOPs for activation memory; enables large-batch training).

@@ -379,21 +379,7 @@ def attention_decode_step(
     cache_v = jax.lax.dynamic_update_slice(
         cache_v, value[..., None], (zero, zero, zero, cache_index))
 
-  if attention_impl in ('pallas', 'pallas_v2'):
-    if group != 1:
-      raise NotImplementedError('pallas decode kernels are MHA-only')
-    if attention_impl == 'pallas':
-      from mt3_tpu.ops.pallas import decode_attention as da
-    else:
-      from mt3_tpu.ops.pallas import decode_attention_v2 as da
-    batch_block = next(bb for bb in (16, 8, 4, 2, 1) if b % bb == 0)
-    len_block = next(lb for lb in (256, 128, max_len)
-                     if max_len % lb == 0)
-    out = da.decode_attention(query.reshape(b, num_heads, head_dim),
-                              cache_k, cache_v, cache_index,
-                              batch_block=batch_block,
-                              len_block=len_block)
-  elif group == 1:
+  if group == 1:
     q3 = query.reshape(b, num_heads, head_dim)
     logits = jnp.einsum(
         'bhd,bhdl->bhl', q3, cache_k,

@@ -35,10 +35,6 @@ VARIANTS = {
     'onehot_bucket': ('onehot', 'xla', 128),
     'xla_bucket': ('dus', 'xla', 128),
     'xla_nobucket': ('dus', 'xla', 1024),
-    'pallas': ('dus', 'pallas', 1024),
-    'pallas_bucket': ('dus', 'pallas', 256),
-    'pallas_v2': ('dus', 'pallas_v2', 1024),
-    'pallas_v2_onehot': ('onehot', 'pallas_v2', 1024),
     'pallas_v3': ('dus', 'pallas_v3', 1024),
     'xla_bucket64': ('dus', 'xla', 64),
     'int8': ('dus', 'xla', 128, True),
