@@ -112,3 +112,51 @@ def test_t5x_param_conversion():
   np.testing.assert_array_equal(
       params['decoder']['layers']['mlp']['wi_0'][1],
       t5x_params['decoder/layers_1/mlp/wi_0/kernel'])
+
+
+def test_dump_task_decoded_output(tmp_path, capsys):
+  """dump_task prints tokenized targets whose decoded event names match
+  the known content of a reference-schema TFRecord fixture."""
+  import io
+  import wave as wave_mod
+
+  import numpy as np
+
+  from mt3_tpu.core import noteseq_proto
+  from mt3_tpu.core.note_sequence import Note, NoteSequence
+  from mt3_tpu.data import tfrecord
+  from mt3_tpu.scripts import dump_task
+
+  # One clearly-identifiable note: pitch 60, velocity 100, 0.0-0.5 s.
+  ns = NoteSequence(id='fixture', total_time=1.0)
+  ns.notes = [Note(pitch=60, velocity=100, start_time=0.0, end_time=0.5)]
+  t = np.arange(16000) / 16000
+  audio = (0.2 * np.sin(2 * np.pi * 261.63 * t)).astype(np.float32)
+  buf = io.BytesIO()
+  with wave_mod.open(buf, 'wb') as w:
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes((audio * 32767).astype('<i2').tobytes())
+  record = tfrecord.make_example({
+      'audio': buf.getvalue(),
+      'sequence': noteseq_proto.notesequence_to_bytes(ns),
+      'id': b'fixture',
+  })
+  path = str(tmp_path / 'fixture.tfrecord')
+  tfrecord.write_records(path, [record])
+
+  dump_task.main(['--model', 'tiny', '--data', path,
+                  '--dataset', 'maestrov3', '--num_examples', '1',
+                  '--decode_targets'])
+  out = capsys.readouterr().out
+  assert 'decoded:' in out
+  # The tiny config crops 8 frames (64 ms); wherever the crop lands the
+  # stream must contain valid event names and terminate with EOS.
+  decoded_line = next(l for l in out.splitlines() if 'decoded:' in l)
+  assert 'EOS' in decoded_line
+  assert 'INVALID' not in decoded_line
+  # A crop overlapping the note onset or its tied continuation must
+  # reference pitch 60 (program 0 piano).
+  if 'pitch' in decoded_line:
+    assert 'pitch:60' in decoded_line
