@@ -42,6 +42,10 @@ VARIANTS = {
     # int8 self-attn cache AND int8 cross-attention K/V (the fixed
     # per-step HBM read).
     'int8_cross': ('dus', 'xla', 128, True, True),
+    # Grouped-query attention (from-scratch training only): 1 KV head
+    # shared by all 6 query heads -> 6x less self-attn cache traffic.
+    'int8_cross_gqa1': ('dus', 'xla', 128, True, True, 1),
+    'gqa1': ('dus', 'xla', 128, False, False, 1),
 }
 
 
@@ -62,13 +66,15 @@ def main():
   cache_update, attn_impl, bucket = variant[:3]
   kv_quantize = len(variant) > 3 and variant[3]
   cross_quantize = len(variant) > 4 and variant[4]
+  num_kv_heads = variant[5] if len(variant) > 5 else None
   config = config_lib.mt3_config()
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__, 'dtype': 'bfloat16',
       'decode_cache_update': cache_update,
       'decode_attention_impl': attn_impl,
       'decode_kv_quantize': kv_quantize,
-      'decode_cross_kv_quantize': cross_quantize})
+      'decode_cross_kv_quantize': cross_quantize,
+      'num_kv_heads': num_kv_heads})
   spec_config = config.spectrogram
   run = config.run
   params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
