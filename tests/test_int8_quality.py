@@ -1,4 +1,4 @@
-"""int8 KV-cache quality gate on a partially trained (non-overfit) model.
+"""int8 KV + cross-KV quality gate on a partially trained (non-overfit) model.
 
 Round-1 certified int8 KV quantization only on an overfit model —
 saturated logit margins, the easiest case (VERDICT weak #3).  Here a tiny
@@ -74,7 +74,8 @@ def trained_setup():
 
 def _f1(config, params, examples, quantize: bool) -> float:
   model_config = ModelConfig(**{**config.model.__dict__,
-                                'decode_kv_quantize': quantize})
+                                'decode_kv_quantize': quantize,
+                                'decode_cross_kv_quantize': quantize})
   cfg = MT3Config(config.name, config.spectrogram, config.vocab,
                   model_config, config.run)
   transcriber = transcribe_lib.Transcriber(cfg, params)
