@@ -78,7 +78,8 @@ def main(argv=None):
       inputs_length=run.inputs_length, targets_length=run.targets_length,
       batch_size=batch_size, onsets_only=run.onsets_only,
       include_ties=run.use_ties,
-      program_granularity=run.program_granularity, seed=args.seed)
+      program_granularity=run.program_granularity,
+      max_examples_per_mix=run.max_examples_per_mix, seed=args.seed)
   if args.cache_dir:
     import os
     if not any(f.startswith('cache-') for f in (

@@ -183,6 +183,74 @@ def encode_targets(tokens: np.ndarray,
   return encoded.astype(np.int32)
 
 
+def crop_and_rle(
+    features: Features,
+    codec: event_codec.Codec,
+    inputs_length: int,
+    rng: np.random.RandomState,
+    include_ties: bool = True,
+    program_granularity: str = 'full',
+) -> Features:
+  """Random crop + tie-section extraction + absolute-step RLE.
+
+  First half of the train chain, up to the point where the reference
+  mixes examples (tasks.py:161-166: ...run_length_encode_shifts ->
+  mix_transcription_examples -> remove_redundant_state_changes...).
+  Returns {'inputs': frames, 'targets': RLE codec tokens}.
+  """
+  tie_token = codec.encode_event(event_codec.Event('tie', 0))
+  chunk = select_random_chunk(features, inputs_length, rng)
+  chunk = run_length.extract_target_sequence_with_indices(
+      chunk, state_events_end_token=tie_token if include_ties else None)
+  tokens = map_midi_programs(chunk['targets'], codec, program_granularity)
+  tokens = run_length.run_length_encode_shifts(tokens, codec)
+  return {'inputs': chunk['inputs'], 'targets': tokens}
+
+
+def finalize_train_example(
+    cropped: Features,
+    codec: event_codec.Codec,
+    vocab: vocabulary.GenericTokenVocabulary,
+    inputs_length: int,
+    targets_length: int,
+    skip_too_long: bool = True,
+) -> Optional[Features]:
+  """Second half of the train chain: dedup state changes, encode + EOS,
+  pad, and build the autoregressive shift.  Returns None if the example
+  should be skipped (targets too long)."""
+  tokens = run_length.remove_redundant_state_changes(
+      cropped['targets'], codec,
+      state_change_event_types=['velocity', 'program'])
+  targets = encode_targets(tokens, vocab)
+
+  if len(targets) > targets_length:
+    if skip_too_long:
+      return None
+    raise ValueError(
+        f'targets length {len(targets)} exceeds {targets_length}')
+
+  frames = cropped['inputs']
+  n_frames = len(frames)
+  if n_frames < inputs_length:
+    frames = np.pad(frames, [(0, inputs_length - n_frames), (0, 0)])
+  elif n_frames > inputs_length:
+    # Mixing can produce a group whose longest member sets the frame
+    # count; clip to the model's input length.
+    frames = frames[:inputs_length]
+  padded_targets = np.zeros(targets_length, np.int32)
+  padded_targets[:len(targets)] = targets
+
+  decoder_input = np.zeros(targets_length, np.int32)
+  decoder_input[1:len(targets)] = targets[:-1]
+
+  return {
+      'encoder_input_frames': frames.astype(np.float32),
+      'decoder_target_tokens': padded_targets,
+      'decoder_input_tokens': decoder_input,
+      'decoder_loss_weights': (padded_targets > 0).astype(np.int32),
+  }
+
+
 def prepare_train_example(
     features: Features,
     codec: event_codec.Codec,
@@ -198,39 +266,12 @@ def prepare_train_example(
 
   Returns None if the example should be skipped (targets too long).
   """
-  tie_token = codec.encode_event(event_codec.Event('tie', 0))
-
-  chunk = select_random_chunk(features, inputs_length, rng)
-  chunk = run_length.extract_target_sequence_with_indices(
-      chunk, state_events_end_token=tie_token if include_ties else None)
-  tokens = map_midi_programs(chunk['targets'], codec, program_granularity)
-  tokens = run_length.run_length_encode_shifts(tokens, codec)
-  tokens = run_length.remove_redundant_state_changes(
-      tokens, codec, state_change_event_types=['velocity', 'program'])
-  targets = encode_targets(tokens, vocab)
-
-  if len(targets) > targets_length:
-    if skip_too_long:
-      return None
-    raise ValueError(
-        f'targets length {len(targets)} exceeds {targets_length}')
-
-  n_frames = len(chunk['inputs'])
-  frames = chunk['inputs']
-  if n_frames < inputs_length:
-    frames = np.pad(frames, [(0, inputs_length - n_frames), (0, 0)])
-  padded_targets = np.zeros(targets_length, np.int32)
-  padded_targets[:len(targets)] = targets
-
-  decoder_input = np.zeros(targets_length, np.int32)
-  decoder_input[1:len(targets)] = targets[:-1]
-
-  return {
-      'encoder_input_frames': frames.astype(np.float32),
-      'decoder_target_tokens': padded_targets,
-      'decoder_input_tokens': decoder_input,
-      'decoder_loss_weights': (padded_targets > 0).astype(np.int32),
-  }
+  cropped = crop_and_rle(features, codec, inputs_length, rng,
+                         include_ties=include_ties,
+                         program_granularity=program_granularity)
+  return finalize_train_example(cropped, codec, vocab, inputs_length,
+                                targets_length,
+                                skip_too_long=skip_too_long)
 
 
 # ---------------------------------------------------------------------------
@@ -367,20 +408,12 @@ def train_batches_from_cache(
   indexing) happened once in build_segment_cache.
   """
   rng = np.random.RandomState(pipeline_config.seed)
-  batch = []
-  while True:
-    for segment in cached_segments(cache_dir, rng):
-      ex = prepare_train_example(
-          segment, codec, vocab,
-          pipeline_config.inputs_length, pipeline_config.targets_length,
-          rng, include_ties=pipeline_config.include_ties,
-          program_granularity=pipeline_config.program_granularity)
-      if ex is None:
-        continue
-      batch.append(ex)
-      if len(batch) == pipeline_config.batch_size:
-        yield _stack_batch(batch)
-        batch = []
+
+  def epoch(rng):
+    yield from cached_segments(cache_dir, rng)
+
+  yield from _batches_over_epochs(epoch, codec, vocab, pipeline_config,
+                                  rng)
 
 
 def _stack_batch(batch: List[Features]) -> Dict[str, np.ndarray]:
@@ -435,6 +468,9 @@ class TrainPipelineConfig:
   onsets_only: bool = False
   include_ties: bool = True
   program_granularity: str = 'full'
+  # Randomly mix groups of 1..N examples (audio sum + RLE target merge,
+  # reference mixing.py / gin/ismir2022/pretrain.gin MAX_EXAMPLES_PER_MIX=8).
+  max_examples_per_mix: Optional[int] = None
   seed: int = 0
 
 
@@ -464,27 +500,35 @@ def train_batches(
   if not cached_chunks:
     raise ValueError('no examples to train on')
 
+  def epoch(rng):
+    for idx in rng.permutation(len(cached_chunks)):
+      yield cached_chunks[idx]
+
+  yield from _batches_over_epochs(epoch, codec, vocab, pipeline_config,
+                                  rng)
+
+
+def _batches_over_epochs(epoch_fn, codec, vocab, pipeline_config, rng
+                         ) -> Iterator[Dict[str, np.ndarray]]:
+  """Crop -> [mix] -> finalize -> batch, over endless epochs."""
+  from mt3_tpu.data import mixing
   batch = []
   while True:
-    order = rng.permutation(len(cached_chunks))
-    for idx in order:
-      ex = prepare_train_example(
-          cached_chunks[idx], codec, vocab,
-          pipeline_config.inputs_length, pipeline_config.targets_length,
-          rng, include_ties=pipeline_config.include_ties,
-          program_granularity=pipeline_config.program_granularity)
+    cropped = (crop_and_rle(
+        seg, codec, pipeline_config.inputs_length, rng,
+        include_ties=pipeline_config.include_ties,
+        program_granularity=pipeline_config.program_granularity)
+        for seg in epoch_fn(rng))
+    if pipeline_config.max_examples_per_mix:
+      cropped = mixing.mix_transcription_examples(
+          cropped, codec, pipeline_config.max_examples_per_mix, rng)
+    for ex_cropped in cropped:
+      ex = finalize_train_example(
+          ex_cropped, codec, vocab, pipeline_config.inputs_length,
+          pipeline_config.targets_length)
       if ex is None:
         continue
       batch.append(ex)
       if len(batch) == pipeline_config.batch_size:
-        yield {
-            'encoder_input_frames': np.stack(
-                [b['encoder_input_frames'] for b in batch]),
-            'decoder_target_tokens': np.stack(
-                [b['decoder_target_tokens'] for b in batch]),
-            'decoder_input_tokens': np.stack(
-                [b['decoder_input_tokens'] for b in batch]),
-            'decoder_loss_weights': np.stack(
-                [b['decoder_loss_weights'] for b in batch]),
-        }
+        yield _stack_batch(batch)
         batch = []

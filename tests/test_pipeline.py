@@ -364,3 +364,31 @@ def test_tokenize_onsets_only(spec_config):
   with pytest.raises(ValueError):
     pipeline.tokenize_example(ex['sequence'], ex['audio'], spec_config,
                               codec, onsets_only=True, include_ties=True)
+
+
+def test_train_batches_with_mixing():
+  """max_examples_per_mix wires mixing into the train chain (reference
+  tasks.py:161-166: mix between RLE and state-change dedup)."""
+  from mt3_tpu.core.config import SpectrogramConfig, VocabularyConfig
+  from mt3_tpu.data import datasets
+
+  spec = SpectrogramConfig()
+  codec = vocabulary.build_codec(VocabularyConfig())
+  vocab = vocabulary.vocabulary_from_codec(codec)
+  source = datasets.SyntheticDataSource(num_examples=4, duration=2.0,
+                                        seed=3)
+  cfg = pipeline.TrainPipelineConfig(
+      inputs_length=64, targets_length=512, batch_size=4,
+      max_examples_per_mix=2, seed=1)
+  batch = next(pipeline.train_batches(source.examples(), spec, codec,
+                                      vocab, cfg))
+  assert batch['encoder_input_frames'].shape == (4, 64, spec.hop_width)
+  # Mixed audio is inf-norm normalized: amplitudes stay within [-1, 1].
+  assert float(np.abs(batch['encoder_input_frames']).max()) <= 1.0 + 1e-6
+  # Targets are a valid time-ordered RLE stream: decoded shift values
+  # never decrease within a segment.
+  tgt = batch['decoder_target_tokens'][0]
+  decoded = vocab.decode(tgt[tgt > 0].tolist())
+  shifts = [i for i in decoded if 0 <= i <= codec.max_shift_steps
+            and codec.is_shift_event_index(i)]
+  assert shifts == sorted(shifts)
