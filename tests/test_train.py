@@ -253,3 +253,15 @@ def test_train_cli_with_cache_eval_and_logging(tmp_path):
   ])
   assert os.path.getmtime(
       os.path.join(cache_dir, 'cache-00000.tfrecord')) == mtime
+
+
+def test_multihost_mesh_shapes():
+  """make_multihost_mesh builds ('data','model') meshes over all devices
+  (single-process path; hybrid ICI x DCN exercised at shape level)."""
+  from mt3_tpu.parallel import multihost, partitioning
+
+  mesh = multihost.make_multihost_mesh(num_model_partitions=2)
+  assert dict(mesh.shape) == {partitioning.DATA_AXIS: 4,
+                              partitioning.MODEL_AXIS: 2}
+  # initialize() is a no-op for single-process runs.
+  multihost.initialize(num_processes=1)
