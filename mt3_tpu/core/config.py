@@ -149,6 +149,10 @@ class ModelConfig:
   # scales): halves decode cache read traffic, ~0.4% RMS quantization
   # error on K/V.
   decode_kv_quantize: bool = False
+  # Bits for the quantized self-attention cache: 8 (int8) or 4 (int4 —
+  # halves cache read traffic again; larger quantization error, gate on
+  # the F1-delta test before shipping).
+  decode_kv_bits: int = 8
   # int8-quantize the cross-attention K/V (projected once per segment,
   # re-read every decode step — the dominant FIXED per-step HBM cost:
   # ~0.8 GB/step at batch 256).  Same per-(b,h,position) scale scheme.

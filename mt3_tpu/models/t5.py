@@ -410,7 +410,8 @@ def init_decode_state(params: PyTree, config: ModelConfig,
   cache = layers.init_kv_cache(
       config.num_decoder_layers, b, config.kv_heads, config.head_dim,
       max_decode_len, dtype=dtype,
-      quantized=config.decode_kv_quantize)
+      quantized=config.decode_kv_quantize,
+      bits=getattr(config, 'decode_kv_bits', 8))
   return DecodeState(cache=cache, cross_k=cross_k, cross_v=cross_v,
                      index=jnp.array(0, jnp.int32),
                      cross_k_scale=cross_k_scale,

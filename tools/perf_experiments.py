@@ -46,6 +46,8 @@ VARIANTS = {
     # shared by all 6 query heads -> 6x less self-attn cache traffic.
     'int8_cross_gqa1': ('dus', 'xla', 128, True, True, 1),
     'gqa1': ('dus', 'xla', 128, False, False, 1),
+    # int4 self-attn cache (+ int8 cross K/V).
+    'int4_cross': ('dus', 'xla', 128, True, True, None, 4),
 }
 
 
@@ -67,6 +69,7 @@ def main():
   kv_quantize = len(variant) > 3 and variant[3]
   cross_quantize = len(variant) > 4 and variant[4]
   num_kv_heads = variant[5] if len(variant) > 5 else None
+  kv_bits = variant[6] if len(variant) > 6 else 8
   config = config_lib.mt3_config()
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__, 'dtype': 'bfloat16',
@@ -74,7 +77,8 @@ def main():
       'decode_attention_impl': attn_impl,
       'decode_kv_quantize': kv_quantize,
       'decode_cross_kv_quantize': cross_quantize,
-      'num_kv_heads': num_kv_heads})
+      'num_kv_heads': num_kv_heads,
+      'decode_kv_bits': kv_bits})
   spec_config = config.spectrogram
   run = config.run
   params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
