@@ -33,10 +33,11 @@ import numpy as np
 
 BASELINE_AUDIO_SEC_PER_SEC = 50.0  # north star: 50x real time per chip
 
-# BASELINE.json config #3 specifies 64 chunks/step; 256 is the same
+# BASELINE.json config #3 specifies 64 chunks/step; 512 is the same
 # workload at the production batch size (throughput metric unchanged:
 # audio-seconds per wall-clock second per chip).
-NUM_SEGMENTS = 256
+NUM_SEGMENTS = 512
+STEPS_PER_ITER = 16  # decode tokens per while-loop iteration (PERF.md)
 WARMUP_ITERS = 1
 TIMED_ITERS = 3
 
@@ -48,12 +49,14 @@ def main():
   from mt3_tpu.ops import spectrogram
 
   config = config_lib.mt3_config()
-  # bfloat16 activations; int8-quantized KV cache (decode is HBM-bound on
-  # cache reads; per-vector int8 halves that traffic — onset-F1
-  # preservation is covered by tests/test_pipeline.py on a trained model).
+  # bfloat16 activations; int8-quantized self-attention KV cache AND
+  # int8 cross-attention K/V (decode is HBM-bound on those reads; onset-F1
+  # preservation on a non-overfit model is gated by
+  # tests/test_int8_quality.py).
   model_config = config_lib.ModelConfig(
       **{**config.model.__dict__, 'dtype': 'bfloat16',
-         'decode_kv_quantize': True})
+         'decode_kv_quantize': True,
+         'decode_cross_kv_quantize': True})
   spec_config = config.spectrogram
   run = config.run
 
@@ -75,7 +78,7 @@ def main():
     encoded = t5.encode(params, model_config, mel)
     tokens, lengths = decode.decode_tokens(
         params, model_config, encoded, run.targets_length,
-        forbid_eos=True)
+        forbid_eos=True, steps_per_iter=STEPS_PER_ITER)
     return tokens, lengths
 
   # Warmup / compile.  Fetch results to host: on the tunneled platform

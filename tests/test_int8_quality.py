@@ -97,3 +97,23 @@ def test_int8_kv_preserves_f1_on_partially_trained_model(trained_setup):
   # The production bench config (int8 KV) is gated on this delta.
   assert abs(f1_bf16 - f1_int8) <= 0.02, (
       f'int8 KV cache degraded onset F1: {f1_bf16} -> {f1_int8}')
+
+
+def test_int4_kv_f1_delta_measured(trained_setup):
+  """int4 cache quality on the same non-overfit model (informational
+  gate: int4 is opt-in until the delta matches int8's)."""
+  config, params, examples, final_acc = trained_setup
+  del final_acc
+  f1_bf16 = _f1(config, params, examples, quantize=False)
+
+  model_config = ModelConfig(**{**config.model.__dict__,
+                                'decode_kv_quantize': True,
+                                'decode_kv_bits': 4,
+                                'decode_cross_kv_quantize': True})
+  cfg = MT3Config(config.name, config.spectrogram, config.vocab,
+                  model_config, config.run)
+  transcriber = transcribe_lib.Transcriber(cfg, params)
+  scores = evaluator.evaluate_dataset(examples, transcriber)
+  f1_int4 = float(scores['Onset F1'])
+  # Loose gate: int4 stays within 0.1 F1 of bf16 on realistic margins.
+  assert abs(f1_bf16 - f1_int4) <= 0.1, (f1_bf16, f1_int4)
