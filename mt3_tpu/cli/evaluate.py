@@ -25,7 +25,10 @@ def main(argv=None):
                       choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--checkpoint', default=None)
   parser.add_argument('--data', default='synthetic',
-                      help="'synthetic' or a directory of wav+midi pairs")
+                      help="'synthetic', a directory of wav+midi pairs, "
+                           'or reference-schema .tfrecord file(s)')
+  parser.add_argument('--dataset', default='maestrov3',
+                      help='corpus schema for .tfrecord inputs')
   parser.add_argument('--num_examples', type=int, default=None)
   parser.add_argument('--output', default=None, help='metrics JSON path')
   parser.add_argument('--summary_dir', default=None)
@@ -57,11 +60,9 @@ def main(argv=None):
   else:
     print('WARNING: no checkpoint; random weights', file=sys.stderr)
 
-  if args.data == 'synthetic':
-    source = datasets.SyntheticDataSource(
-        num_examples=args.num_examples or 4, duration=4.0)
-  else:
-    source = datasets.LocalPairsDataSource(args.data, config.spectrogram)
+  source = datasets.resolve_data_source(
+      args.data, config.spectrogram, dataset=args.dataset,
+      num_examples=args.num_examples)
 
   examples = list(source.examples())
   if args.num_examples:

@@ -25,7 +25,10 @@ def main(argv=None):
   parser.add_argument('--model', default='tiny',
                       choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--data', default='synthetic',
-                      help="'synthetic' or a directory of wav+midi pairs")
+                      help="'synthetic', a directory of wav+midi pairs, "
+                           'or reference-schema .tfrecord file(s)')
+  parser.add_argument('--dataset', default='maestrov3',
+                      help='corpus schema for .tfrecord inputs')
   parser.add_argument('--steps', type=int, default=None)
   parser.add_argument('--batch_size', type=int, default=None)
   parser.add_argument('--checkpoint_dir', default=None)
@@ -66,12 +69,9 @@ def main(argv=None):
   codec = vocabulary.build_codec(config.vocab)
   vocab = vocabulary.vocabulary_from_codec(codec)
 
-  if args.data == 'synthetic':
-    source = datasets.SyntheticDataSource(
-        num_examples=8, duration=4.0,
-        sample_rate=config.spectrogram.sample_rate, seed=args.seed)
-  else:
-    source = datasets.LocalPairsDataSource(args.data, config.spectrogram)
+  source = datasets.resolve_data_source(
+      args.data, config.spectrogram, dataset=args.dataset,
+      is_training=True, num_examples=8, seed=args.seed)
   print(f'dataset: {len(source)} examples', file=sys.stderr)
 
   pipe_cfg = pipeline.TrainPipelineConfig(
@@ -132,8 +132,9 @@ def main(argv=None):
   # every eval_period steps over the eval tasks, logging the full metric
   # family to TensorBoard + JSON).
   if args.eval_data:
-    eval_source = datasets.LocalPairsDataSource(args.eval_data,
-                                                config.spectrogram)
+    eval_source = datasets.resolve_data_source(
+        args.eval_data, config.spectrogram, dataset=args.dataset,
+        num_examples=args.eval_examples)
   elif args.data == 'synthetic':
     eval_source = datasets.SyntheticDataSource(
         num_examples=args.eval_examples, duration=4.0,

@@ -389,6 +389,30 @@ class TFRecordDataSource(DataSource):
         yield {'sequence': ns, 'audio': audio}
 
 
+def resolve_data_source(spec: str,
+                        spectrogram_config=SpectrogramConfig(),
+                        dataset: str = 'maestrov3',
+                        is_training: bool = False,
+                        num_examples: Optional[int] = None,
+                        seed: int = 0) -> DataSource:
+  """Map a CLI --data spec to a DataSource.
+
+  'synthetic' -> procedural corpus; '*.tfrecord' (comma-separable) ->
+  ReferenceTFRecordDataSource with the named corpus schema; otherwise a
+  directory of (wav, mid) pairs.
+  """
+  if spec == 'synthetic':
+    return SyntheticDataSource(num_examples=num_examples or 4,
+                               duration=4.0,
+                               sample_rate=spectrogram_config.sample_rate,
+                               seed=seed)
+  if spec.endswith('.tfrecord') or '.tfrecord-' in spec:
+    return ReferenceTFRecordDataSource(
+        ALL_DATASET_CONFIGS[dataset], spec.split(','),
+        spectrogram_config, is_training=is_training)
+  return LocalPairsDataSource(spec, spectrogram_config)
+
+
 class PitchBendError(Exception):
   """Raised when a track has pitch bends we cannot represent."""
 

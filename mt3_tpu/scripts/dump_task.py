@@ -37,15 +37,9 @@ def main(argv=None):
   codec = vocabulary.build_codec(config.vocab)
   vocab = vocabulary.vocabulary_from_codec(codec)
 
-  if args.data == 'synthetic':
-    source = datasets.SyntheticDataSource(num_examples=args.num_examples,
-                                          duration=3.0)
-  elif args.data.endswith('.tfrecord') or '.tfrecord-' in args.data:
-    source = datasets.ReferenceTFRecordDataSource(
-        datasets.ALL_DATASET_CONFIGS[args.dataset], args.data.split(','),
-        config.spectrogram, is_training=True)
-  else:
-    source = datasets.LocalPairsDataSource(args.data, config.spectrogram)
+  source = datasets.resolve_data_source(
+      args.data, config.spectrogram, dataset=args.dataset,
+      is_training=True, num_examples=args.num_examples)
 
   pipe_cfg = pipeline.TrainPipelineConfig(
       inputs_length=config.run.inputs_length,
