@@ -461,10 +461,21 @@ class ReferenceTFRecordDataSource(DataSource):
                spectrogram_config=SpectrogramConfig(),
                is_training: bool = False,
                ignore_pitch_bends: bool = True):
+    import glob as glob_lib
     if isinstance(paths, str):
       paths = [paths]
+    expanded = []
+    for path in paths:
+      # Reference shard patterns ('...tfrecord-?????-of-00025').
+      if any(c in path for c in '*?['):
+        matches = sorted(glob_lib.glob(path))
+        if not matches:
+          raise FileNotFoundError(f'no files match {path}')
+        expanded.extend(matches)
+      else:
+        expanded.append(path)
     self.config = config
-    self.paths = list(paths)
+    self.paths = expanded
     self.spectrogram_config = spectrogram_config
     self.sample_rate = spectrogram_config.sample_rate
     self.is_training = is_training

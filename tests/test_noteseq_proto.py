@@ -269,3 +269,22 @@ def test_pitch_bend_track_skipped(tmp_path, spec_config):
   source = datasets.ReferenceTFRecordDataSource(
       datasets.SLAKH_CONFIG, path, spec_config, ignore_pitch_bends=True)
   assert len(list(source.examples())) == 1
+
+
+def test_sharded_glob_paths(tmp_path, spec_config):
+  """Reference shard patterns ('...-?????-of-00002') expand via glob."""
+  ns = _sample_ns()
+  audio = np.zeros(8000, np.float32)
+  for i in range(2):
+    record = tfrecord.make_example({
+        'audio': _wav_bytes(audio, 16000),
+        'sequence': noteseq_proto.notesequence_to_bytes(ns),
+        'id': f'shard-{i}'.encode(),
+    })
+    tfrecord.write_records(
+        str(tmp_path / f'data.tfrecord-{i:05d}-of-00002'), [record])
+  source = datasets.ReferenceTFRecordDataSource(
+      datasets.MAESTROV3_CONFIG,
+      str(tmp_path / 'data.tfrecord-?????-of-00002'), spec_config)
+  assert len(source.paths) == 2
+  assert len(list(source.examples())) == 2
