@@ -327,7 +327,27 @@ def attention_decode_step(
     cache_v_scale = jax.lax.dynamic_update_slice(
         cache_v_scale, value_scale[..., None], (zero, zero, cache_index))
 
-    if group == 1:
+    if group == 1 and attention_impl == 'xla_int8dot':
+      # Integer MXU path: quantize q (and the softmax-weight x value-scale
+      # product) per (b,h) so both einsums run s8 x s8 -> s32 without
+      # upconverting the cache to bf16 first.  Adds ~0.4% quantization
+      # error on q and on the attention weights (numerics-gated in
+      # tests/test_model.py).
+      q3 = query.reshape(b, num_heads, head_dim)
+      q_q, q_scale = _quantize_kv(q3.astype(jnp.float32))
+      logits = jnp.einsum('bhd,bhdl->bhl', q_q, cache_k,
+                          preferred_element_type=jnp.int32)
+      logits = (logits.astype(jnp.float32)
+                * (q_scale[..., None] * cache_k_scale))
+      visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+      logits = jnp.where(visible, logits, -1e10)
+      weights = jax.nn.softmax(logits, axis=-1)
+      wv = weights * cache_v_scale          # fold per-position v scales
+      wv_q, wv_scale = _quantize_kv(wv)
+      out = jnp.einsum('bhl,bhdl->bhd', wv_q, cache_v,
+                       preferred_element_type=jnp.int32)
+      out = (out.astype(jnp.float32) * wv_scale[..., None]).astype(dtype)
+    elif group == 1:
       # Keep the MHA einsum form (also keeps the compiled-program cache
       # warm for the production configuration).
       q3 = query.reshape(b, num_heads, head_dim)

@@ -253,3 +253,31 @@ def test_int4_kv_cache_decode_reasonably_close(config, params):
   err = float(jnp.max(jnp.abs(ref - quant)))
   scale = float(jnp.max(jnp.abs(ref)))
   assert err < 0.25 * scale, (err, scale)
+
+
+def test_int8dot_attention_close_to_fp32(config, params):
+  """s8 x s8 -> s32 MXU attention path stays numerically close."""
+  from mt3_tpu.core.config import ModelConfig
+  q_config = ModelConfig(**{**config.__dict__, 'decode_kv_quantize': True,
+                            'decode_attention_impl': 'xla_int8dot'})
+  b, enc_len, dec_len = 2, 6, 7
+  enc_in = jax.random.normal(jax.random.PRNGKey(35),
+                             (b, enc_len, config.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(36), (b, dec_len), 3, 100)
+  encoded = t5.encode(params, config, enc_in)
+
+  def run(cfg):
+    state = t5.init_decode_state(params, cfg, encoded, dec_len)
+    logits_seq = []
+    token = jnp.zeros((b,), jnp.int32)
+    for i in range(dec_len):
+      logits, state = t5.decode_step(params, cfg, token, state)
+      logits_seq.append(logits)
+      token = tokens[:, i]
+    return jnp.stack(logits_seq, axis=1)
+
+  ref = run(config)
+  quant = run(q_config)
+  err = float(jnp.max(jnp.abs(ref - quant)))
+  scale = float(jnp.max(jnp.abs(ref)))
+  assert err < 0.08 * scale, (err, scale)

@@ -48,6 +48,8 @@ VARIANTS = {
     'gqa1': ('dus', 'xla', 128, False, False, 1),
     # int4 self-attn cache (+ int8 cross K/V).
     'int4_cross': ('dus', 'xla', 128, True, True, None, 4),
+    # s8 x s8 -> s32 MXU attention einsums (no cache upconversion).
+    'int8dot_cross': ('dus', 'xla_int8dot', 128, True, True),
 }
 
 
