@@ -31,6 +31,12 @@ def main(argv=None):
                       help='checkpoint directory (latest step used)')
   parser.add_argument('--output_dir', default='.')
   parser.add_argument('--temperature', type=float, default=0.0)
+  parser.add_argument('--num_beams', type=int, default=0,
+                      help='>1 enables beam search (the reference t5x '
+                           'default decoder, models.py:127); 0 = greedy')
+  parser.add_argument('--int8_kv', action='store_true',
+                      help='int8-quantize the decode KV caches (the '
+                           'bench.py production configuration)')
   args = parser.parse_args(argv)
 
   from mt3_tpu.core import config as config_lib
@@ -42,7 +48,9 @@ def main(argv=None):
 
   config = config_lib.CONFIG_FACTORIES[args.model]()
   model_config = config_lib.ModelConfig(
-      **{**config.model.__dict__, 'dtype': 'bfloat16'})
+      **{**config.model.__dict__, 'dtype': 'bfloat16',
+         'decode_kv_quantize': args.int8_kv,
+         'decode_cross_kv_quantize': args.int8_kv})
   config = config_lib.MT3Config(
       config.name, config.spectrogram, config.vocab, model_config,
       config.run)
@@ -58,7 +66,8 @@ def main(argv=None):
           file=sys.stderr)
 
   transcriber = transcribe_lib.Transcriber(config, params,
-                                           temperature=args.temperature)
+                                           temperature=args.temperature,
+                                           num_beams=args.num_beams)
   os.makedirs(args.output_dir, exist_ok=True)
   for path in args.inputs:
     audio = read_wav(path, config.spectrogram.sample_rate)
