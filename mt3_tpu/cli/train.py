@@ -90,11 +90,11 @@ def main(argv=None):
           onsets_only=run.onsets_only, include_ties=run.use_ties)
       print(f'built segment cache: {n} segments -> {args.cache_dir}',
             file=sys.stderr)
-    batches = pipeline.prefetch(pipeline.train_batches_from_cache(
-        args.cache_dir, codec, vocab, pipe_cfg))
+    raw_batches = pipeline.train_batches_from_cache(
+        args.cache_dir, codec, vocab, pipe_cfg)
   else:
-    batches = pipeline.prefetch(pipeline.train_batches(
-        source.examples(), config.spectrogram, codec, vocab, pipe_cfg))
+    raw_batches = pipeline.train_batches(
+        source.examples(), config.spectrogram, codec, vocab, pipe_cfg)
 
   mesh = None
   if len(jax.devices()) > 1:
@@ -118,15 +118,20 @@ def main(argv=None):
   spec_config = config.spectrogram
 
   # The spectrogram runs inside the jitted step: convert raw audio frames
-  # to encoder inputs on device.
+  # to encoder inputs on device.  This runs on the prefetch thread so
+  # host->device transfer overlaps the previous step.
   def to_model_batch(batch):
     return {
         'encoder_input_tokens': spec_lib.frames_to_logmel(
             jnp.asarray(batch['encoder_input_frames']), spec_config),
-        'decoder_target_tokens': batch['decoder_target_tokens'],
-        'decoder_input_tokens': batch['decoder_input_tokens'],
-        'decoder_loss_weights': batch['decoder_loss_weights'],
+        'decoder_target_tokens': jnp.asarray(
+            batch['decoder_target_tokens']),
+        'decoder_input_tokens': jnp.asarray(batch['decoder_input_tokens']),
+        'decoder_loss_weights': jnp.asarray(
+            batch['decoder_loss_weights']),
     }
+
+  batches = pipeline.prefetch(raw_batches, transform=to_model_batch)
 
   # Held-out eval split (reference gin/train.gin:89-97: seqio.Evaluator
   # every eval_period steps over the eval tasks, logging the full metric
@@ -169,7 +174,7 @@ def main(argv=None):
   ckpt_period = args.checkpoint_period or run.checkpoint_period
   start = time.time()
   for step in range(start_step, steps):
-    batch = to_model_batch(next(batches))
+    batch = next(batches)
     metrics = tr.step(batch)
     if step % args.log_every == 0 or step == steps - 1:
       elapsed = time.time() - start

@@ -429,11 +429,15 @@ def _stack_batch(batch: List[Features]) -> Dict[str, np.ndarray]:
   }
 
 
-def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+def prefetch(iterator: Iterator, size: int = 2,
+             transform=None) -> Iterator:
   """Run `iterator` in a background thread with a bounded queue.
 
   The tf.data-style host/device overlap: batch preparation proceeds
-  while the previous step executes on the accelerator.
+  while the previous step executes on the accelerator.  `transform`
+  (e.g. jax.device_put or a device-staging batch converter) also runs on
+  the producer thread, so host->device transfers overlap the previous
+  step instead of serializing with it.
   """
   import queue
   import threading
@@ -444,7 +448,7 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
   def producer():
     try:
       for item in iterator:
-        q.put(item)
+        q.put(transform(item) if transform is not None else item)
     finally:
       q.put(sentinel)
 

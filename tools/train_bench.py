@@ -31,6 +31,8 @@ def main():
   parser.add_argument('--remat_policy', default='full',
                       choices=['full', 'dots'])
   parser.add_argument('--iters', type=int, default=5)
+  parser.add_argument('--profile', default=None,
+                      help='capture a jax profiler trace of one step')
   args = parser.parse_args()
 
   config = config_lib.mt3_config()
@@ -49,6 +51,12 @@ def main():
   batch['encoder_input_tokens'] = rng.randn(
       args.batch, run.inputs_length,
       model_config.input_depth).astype(np.float32)
+
+  # Stage the batch on device once: the host->device transfer of ~35 MB
+  # per step through the remote tunnel otherwise dominates wall time
+  # (trace: 366 ms device vs 915 ms wall at batch 64).  Real training
+  # overlaps transfers with compute via the prefetch pipeline.
+  batch = jax.device_put(batch)
 
   t0 = time.perf_counter()
   m = tr.step(batch)
@@ -74,6 +82,15 @@ def main():
         f'{dt * 1000:.0f} ms/step, {1 / dt:.2f} steps/s, '
         f'{tokens / dt / 1e6:.2f}M tokens/s, '
         f'~{flops / dt / 1e12:.1f} TFLOP/s', flush=True)
+
+
+  if args.profile:
+    jax.profiler.start_trace(args.profile)
+    m = tr.step(batch)
+    jax.block_until_ready(tr.state.params)
+    float(m['loss'])
+    jax.profiler.stop_trace()
+    print(f'trace written to {args.profile}', flush=True)
 
 
 if __name__ == '__main__':
