@@ -133,6 +133,11 @@ class ModelConfig:
   # or 'onehot' (broadcast-add, rewrites the cache every step).  dus
   # measures ~13% faster on v5e (PERF.md).
   decode_cache_update: str = 'dus'
+  # Training/teacher-forced attention implementation: 'xla' (einsum +
+  # materialized [b,h,q,k] scores, exact reference numerics) or 'flash'
+  # (stock TPU Pallas blockwise kernel — no score materialization; only
+  # active when attention dropout is off).
+  train_attention_impl: str = 'xla'
   # Decoder self-attention implementation during decode: 'xla'
   # (production; fastest measured) or 'pallas_v3' (aliased in-place
   # cache kernel, kept for TPU kernel coverage; see PERF.md).

@@ -169,13 +169,23 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
               dtype=jnp.float32,
               dropout_rng: Optional[Array] = None,
               dropout_rate: float = 0.0,
-              num_kv_heads: Optional[int] = None) -> Array:
+              num_kv_heads: Optional[int] = None,
+              flash_mode: Optional[str] = None) -> Array:
   """Full (non-incremental) multi-head dot-product attention.
 
   inputs_q: [b, q, emb]; inputs_kv: [b, k, emb];
   bias: additive [b, 1|h, q, k] or None.  Softmax in float32.
   With num_kv_heads < num_heads (GQA) the K/V heads are shared across
   query-head groups.
+
+  flash_mode 'causal'/'full' routes through the stock TPU Pallas flash
+  kernel (blockwise online softmax — no [b,h,q,k] score materialization,
+  the dominant HBM cost of the training step).  Valid only when the bias
+  is exactly the causal mask / no mask: true for all three training
+  attention sites with unpacked data (padded keys sit past every valid
+  query under causality, and outputs at padded query positions carry
+  zero loss weight).  Attention dropout is not supported by the kernel,
+  so flash is skipped when a dropout rng is live.
   """
   b, q_len, _ = inputs_q.shape
   k_len = inputs_kv.shape[1]
@@ -190,6 +200,26 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
     group = num_heads // kv_heads
     key = jnp.repeat(key, group, axis=2)
     value = jnp.repeat(value, group, axis=2)
+
+  if flash_mode is not None and (dropout_rng is None
+                                 or dropout_rate == 0.0):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    bq = min(512, q_len)
+    bk = min(512, k_len)
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+        block_q_dq=bq)
+    out = flash_attention(
+        query.transpose(0, 2, 1, 3), key.transpose(0, 2, 1, 3),
+        value.transpose(0, 2, 1, 3),
+        causal=(flash_mode == 'causal'), sm_scale=1.0,
+        block_sizes=block_sizes)
+    out = out.transpose(0, 2, 1, 3).astype(dtype)
+    return dense(params['out'],
+                 out.reshape(b, q_len, num_heads * head_dim), dtype)
 
   # [b, h, q, k]
   logits = jnp.einsum('bqhd,bkhd->bhqk', query, key,

@@ -206,6 +206,8 @@ def encode(params: PyTree, config: ModelConfig, encoder_input: Array,
   del b
   rngs = _split_or_none(rng, 2 + config.num_encoder_layers)
 
+  flash_full = ('full' if getattr(config, 'train_attention_impl', 'xla')
+                == 'flash' else None)
   x = layers.dense(params['encoder']['input_proj'], encoder_input, dtype)
   pos = layers.sinusoidal_table(config.max_positions, config.emb_dim)
   x = x + jnp.asarray(pos[:length])[None, :, :].astype(dtype)
@@ -226,7 +228,7 @@ def encode(params: PyTree, config: ModelConfig, encoder_input: Array,
         layer_params['attention'], h, h, bias=None,
         num_heads=config.num_heads, head_dim=config.head_dim, dtype=dtype,
         dropout_rng=sub[0], dropout_rate=config.dropout_rate,
-        num_kv_heads=config.num_kv_heads)
+        num_kv_heads=config.num_kv_heads, flash_mode=flash_full)
     x = x + _dropout(sub[1], h, config.dropout_rate)
     # Pre-LN MLP block.
     h = layers.rms_norm(layer_params['pre_mlp_norm'], x, dtype=dtype)
@@ -276,6 +278,9 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
   rngs = _split_or_none(rng, 2 + config.num_decoder_layers)
   have_rng = rng is not None
 
+  flash = getattr(config, 'train_attention_impl', 'xla') == 'flash'
+  flash_causal = 'causal' if flash else None
+  flash_full = 'full' if flash else None
   decoder_bias = layers.make_decoder_bias(decoder_target_tokens,
                                           jnp.float32)
   # Cross-attention: query positions with non-padding targets attend to all
@@ -307,7 +312,7 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
         layer_params['self_attention'], h, h, bias=decoder_bias,
         num_heads=config.num_heads, head_dim=config.head_dim, dtype=dtype,
         dropout_rng=sub[0], dropout_rate=config.dropout_rate,
-        num_kv_heads=config.num_kv_heads)
+        num_kv_heads=config.num_kv_heads, flash_mode=flash_causal)
     y = y + _dropout(sub[1], h, config.dropout_rate)
     # Cross-attention.
     h = layers.rms_norm(layer_params['pre_cross_attention_norm'], y,
@@ -317,7 +322,7 @@ def decode_train(params: PyTree, config: ModelConfig, encoded: Array,
         bias=cross_bias, num_heads=config.num_heads,
         head_dim=config.head_dim, dtype=dtype,
         dropout_rng=sub[2], dropout_rate=config.dropout_rate,
-        num_kv_heads=config.num_kv_heads)
+        num_kv_heads=config.num_kv_heads, flash_mode=flash_full)
     y = y + _dropout(sub[3], h, config.dropout_rate)
     # MLP.
     h = layers.rms_norm(layer_params['pre_mlp_norm'], y, dtype=dtype)

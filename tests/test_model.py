@@ -281,3 +281,31 @@ def test_int8dot_attention_close_to_fp32(config, params):
   err = float(jnp.max(jnp.abs(ref - quant)))
   scale = float(jnp.max(jnp.abs(ref)))
   assert err < 0.08 * scale, (err, scale)
+
+
+def test_flash_attention_matches_xla(config, params):
+  """Stock TPU flash kernel (interpret mode on CPU) == einsum attention
+  at all valid positions; padded target positions carry no loss."""
+  import jax.experimental.pallas.tpu as pltpu
+  from mt3_tpu.core.config import ModelConfig
+  flash_cfg = ModelConfig(**{**config.__dict__,
+                             'train_attention_impl': 'flash'})
+  b = 2
+  enc_in = jax.random.normal(jax.random.PRNGKey(41),
+                             (b, 64, config.input_depth))
+  # Padded targets: flash uses pure causal masking, which is equivalent
+  # for unpacked data at positions with nonzero loss weight.
+  tgt = np.zeros((b, 64), np.int32)
+  tgt[0, :50] = np.asarray(jax.random.randint(
+      jax.random.PRNGKey(42), (50,), 3, config.vocab_size))
+  tgt[1, :30] = np.asarray(jax.random.randint(
+      jax.random.PRNGKey(43), (30,), 3, config.vocab_size))
+  inp = np.zeros_like(tgt)
+  inp[:, 1:] = tgt[:, :-1]
+
+  ref = np.asarray(t5.forward(params, config, enc_in, inp, tgt))
+  with pltpu.force_tpu_interpret_mode():
+    flash = np.asarray(t5.forward(params, flash_cfg, enc_in, inp, tgt))
+  valid = np.asarray(tgt) > 0
+  np.testing.assert_allclose(flash[valid], ref[valid], atol=2e-4,
+                             rtol=2e-4)

@@ -30,6 +30,9 @@ def main():
   parser.add_argument('--remat', action='store_true')
   parser.add_argument('--remat_policy', default='full',
                       choices=['full', 'dots'])
+  parser.add_argument('--flash', action='store_true',
+                      help='stock TPU Pallas flash attention (no score '
+                           'materialization; disables attention dropout)')
   parser.add_argument('--iters', type=int, default=5)
   parser.add_argument('--profile', default=None,
                       help='capture a jax profiler trace of one step')
@@ -39,7 +42,8 @@ def main():
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__,
       'dtype': 'bfloat16' if args.bf16 else 'float32',
-      'remat': args.remat, 'remat_policy': args.remat_policy})
+      'remat': args.remat, 'remat_policy': args.remat_policy,
+      'train_attention_impl': 'flash' if args.flash else 'xla'})
   run = config.run
 
   tr = trainer_lib.Trainer(model_config=model_config, run_config=run)
@@ -78,7 +82,7 @@ def main():
   tokens = args.batch * (run.inputs_length + run.targets_length)
   flops = 6 * n_params * tokens
   print(f'batch={args.batch} bf16={args.bf16} remat={args.remat}'
-        f'/{args.remat_policy}: '
+        f'/{args.remat_policy} flash={args.flash}: '
         f'{dt * 1000:.0f} ms/step, {1 / dt:.2f} steps/s, '
         f'{tokens / dt / 1e6:.2f}M tokens/s, '
         f'~{flops / dt / 1e12:.1f} TFLOP/s', flush=True)
