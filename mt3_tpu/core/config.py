@@ -138,6 +138,10 @@ class ModelConfig:
   # (stock TPU Pallas blockwise kernel — no score materialization; only
   # active when attention dropout is off).
   train_attention_impl: str = 'xla'
+  # Decode tokens per while-loop iteration (unrolling amortizes the
+  # fixed per-step cost; 16 measured best on v5e, PERF.md).  Must divide
+  # the cache bucket size.
+  decode_steps_per_iter: int = 16
   # Decoder self-attention implementation during decode: 'xla'
   # (production; fastest measured) or 'pallas_v3' (aliased in-place
   # cache kernel, kept for TPU kernel coverage; see PERF.md).

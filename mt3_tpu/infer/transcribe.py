@@ -105,9 +105,10 @@ def _transcribe_batch(params, model_config, spec_config, frames,
     lengths = jnp.sum(tokens > 0, axis=-1)
     del scores
     return tokens, lengths
-  return decode.decode_tokens(params, model_config, encoded,
-                              max_decode_len, temperature=temperature,
-                              rng=rng)
+  return decode.decode_tokens(
+      params, model_config, encoded, max_decode_len,
+      temperature=temperature, rng=rng,
+      steps_per_iter=getattr(model_config, 'decode_steps_per_iter', 1))
 
 
 class Transcriber:
