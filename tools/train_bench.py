@@ -25,6 +25,8 @@ from mt3_tpu.train import trainer as trainer_lib  # noqa: E402
 
 def main():
   parser = argparse.ArgumentParser()
+  parser.add_argument('--model', default='mt3',
+                      choices=['mt3', 'ismir2021'])
   parser.add_argument('--batch', type=int, default=64)
   parser.add_argument('--bf16', action='store_true')
   parser.add_argument('--remat', action='store_true')
@@ -38,7 +40,8 @@ def main():
                       help='capture a jax profiler trace of one step')
   args = parser.parse_args()
 
-  config = config_lib.mt3_config()
+  config = (config_lib.ismir2021_config() if args.model == 'ismir2021'
+            else config_lib.mt3_config())
   model_config = config_lib.ModelConfig(**{
       **config.model.__dict__,
       'dtype': 'bfloat16' if args.bf16 else 'float32',
@@ -81,7 +84,8 @@ def main():
       tr.state.params))
   tokens = args.batch * (run.inputs_length + run.targets_length)
   flops = 6 * n_params * tokens
-  print(f'batch={args.batch} bf16={args.bf16} remat={args.remat}'
+  print(f'{args.model} batch={args.batch} bf16={args.bf16} '
+        f'remat={args.remat}'
         f'/{args.remat_policy} flash={args.flash}: '
         f'{dt * 1000:.0f} ms/step, {1 / dt:.2f} steps/s, '
         f'{tokens / dt / 1e6:.2f}M tokens/s, '
