@@ -52,3 +52,95 @@ def test_load_synthetic_t5x_checkpoint(tmp_path):
       flat['encoder/layers_0/attention/query/kernel'], kernel)
   np.testing.assert_allclose(
       flat['encoder/layers_0/pre_attention_layer_norm/scale'], scale)
+
+
+def test_full_t5x_checkpoint_roundtrip_to_reference_logits(tmp_path):
+  """Write a complete T5X-layout checkpoint (msgpack + TensorStore zarr)
+  from the actual reference flax model's parameters, load it through
+  load_t5x_params, and assert teacher-forced logits match the reference.
+
+  Exercises every stage of the published-checkpoint migration path:
+  TensorStore reads, msgpack tree traversal, name mapping, per-layer
+  stacking, and the numerics of the converted model.
+  """
+  pytest.importorskip('tensorstore')
+  import jax
+  import jax.numpy as jnp
+  from flax import serialization
+
+  from mt3_tpu.core.config import ModelConfig
+  from mt3_tpu.models import t5
+  from mt3_tpu.train import t5x_loader
+  from tests.test_reference_parity import (_flatten_ref_params, ref as
+                                           ref_fixture)
+  del ref_fixture  # imported for the module side effects only
+
+  # Load the reference network (same loader as the parity harness).
+  import importlib.util
+  import sys
+  import types
+  if 'mt3.network' not in sys.modules:
+    pkg = types.ModuleType('mt3')
+    pkg.__path__ = ['/root/reference/mt3']
+    pkg._parity = True
+    sys.modules['mt3'] = pkg
+    for name in ('layers', 'network'):
+      spec = importlib.util.spec_from_file_location(
+          f'mt3.{name}', f'/root/reference/mt3/{name}.py')
+      mod = importlib.util.module_from_spec(spec)
+      sys.modules[f'mt3.{name}'] = mod
+      spec.loader.exec_module(mod)
+  network = sys.modules['mt3.network']
+
+  ref_cfg = network.T5Config(
+      vocab_size=134, dtype=jnp.float32, emb_dim=32, num_heads=2,
+      num_encoder_layers=2, num_decoder_layers=2, head_dim=16,
+      mlp_dim=64, mlp_activations=('gelu', 'linear'), dropout_rate=0.0)
+  model = network.Transformer(config=ref_cfg)
+  enc_in = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+  dec = np.ones((2, 5), np.int32)
+  variables = model.init(jax.random.PRNGKey(0), enc_in, dec, dec,
+                         enable_dropout=False)
+  flat = _flatten_ref_params(
+      jax.tree_util.tree_map(np.asarray, variables['params']))
+
+  # Write the t5x on-disk layout: large leaves as zarr TensorStore dirs
+  # named 'target.<dotted.path>', small leaves inline in the msgpack.
+  root = str(tmp_path)
+
+  def build(tree, prefix):
+    out = {}
+    for key, value in tree.items():
+      path = f'{prefix}.{key}' if prefix else key
+      if isinstance(value, dict):
+        out[key] = build(value, path)
+      elif value.size > 64:
+        out[key] = _write_ts_array(root, path, value)
+      else:
+        out[key] = value
+    return out
+
+  nested = {}
+  for slash_path, arr in flat.items():
+    node = nested
+    parts = slash_path.split('/')
+    for p in parts[:-1]:
+      node = node.setdefault(p, {})
+    node[parts[-1]] = arr
+  tree = {'target': build(nested, 'target'), 'state': {'step': 0}}
+  with open(os.path.join(root, 'checkpoint'), 'wb') as f:
+    f.write(serialization.msgpack_serialize(tree))
+
+  params = t5x_loader.load_t5x_params(root, num_encoder_layers=2,
+                                      num_decoder_layers=2)
+  our_cfg = ModelConfig(vocab_size=134, emb_dim=32, num_heads=2,
+                        num_encoder_layers=2, num_decoder_layers=2,
+                        head_dim=16, mlp_dim=64,
+                        mlp_activations=('gelu', 'linear'),
+                        dropout_rate=0.0, input_depth=16, dtype='float32')
+
+  ref_logits = np.asarray(model.apply(variables, enc_in, dec, dec,
+                                      enable_dropout=False))
+  our_logits = np.asarray(t5.forward(params, our_cfg, enc_in, dec, dec))
+  np.testing.assert_allclose(our_logits, ref_logits, rtol=2e-4,
+                             atol=2e-4)
