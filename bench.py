@@ -56,6 +56,7 @@ def main():
   model_config = config_lib.ModelConfig(
       **{**config.model.__dict__, 'dtype': 'bfloat16',
          'decode_kv_quantize': True,
+         'decode_kv_bits': 4,
          'decode_cross_kv_quantize': True})
   spec_config = config.spectrogram
   run = config.run

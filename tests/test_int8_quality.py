@@ -115,5 +115,7 @@ def test_int4_kv_f1_delta_measured(trained_setup):
   transcriber = transcribe_lib.Transcriber(cfg, params)
   scores = evaluator.evaluate_dataset(examples, transcriber)
   f1_int4 = float(scores['Onset F1'])
-  # Loose gate: int4 stays within 0.1 F1 of bf16 on realistic margins.
-  assert abs(f1_bf16 - f1_int4) <= 0.1, (f1_bf16, f1_int4)
+  # Same gate as int8: measured delta +0.010 (0.508 bf16 -> 0.518 int4,
+  # within noise at these margins); int4 is the bench.py production
+  # default.
+  assert abs(f1_bf16 - f1_int4) <= 0.02, (f1_bf16, f1_int4)
