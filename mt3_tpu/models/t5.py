@@ -10,9 +10,10 @@ TPU-first design choices (vs. the reference's per-layer flax modules):
     stacks run under jax.lax.scan — one compiled layer body, trivial
     rematerialization, and a single sharding annotation per weight kind.
   * Incremental decoding is a dedicated single-position path: cross
-    attention K/V are projected once per segment, and decoder self-attention
-    updates a [layers, b, heads, head_dim, len] cache via one-hot broadcast
-    adds (see layers.attention_decode_step).
+    attention K/V are projected once per segment (optionally int8), and
+    decoder self-attention updates a [layers, b, heads, head_dim, len]
+    cache (optionally int8/int4) via in-place dynamic_update_slice column
+    writes (see layers.attention_decode_step).
   * Activations can run in bfloat16 (config.dtype) while parameters, layer
     norms, softmaxes, and logits stay float32.
 """
