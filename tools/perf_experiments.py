@@ -59,6 +59,8 @@ def main():
                       choices=sorted(VARIANTS))
   parser.add_argument('--batch', type=int, default=256)
   parser.add_argument('--iters', type=int, default=2)
+  parser.add_argument('--bucket', type=int, default=None,
+                      help='override the variant cache-growth bucket size')
   parser.add_argument('--steps_per_iter', type=int, default=1,
                       help='decode steps unrolled per while_loop iteration')
   parser.add_argument('--profile', default=None,
@@ -68,6 +70,8 @@ def main():
 
   variant = VARIANTS[args.variant]
   cache_update, attn_impl, bucket = variant[:3]
+  if args.bucket:
+    bucket = args.bucket
   kv_quantize = len(variant) > 3 and variant[3]
   cross_quantize = len(variant) > 4 and variant[4]
   num_kv_heads = variant[5] if len(variant) > 5 else None
