@@ -96,13 +96,19 @@ def decode_tokens(params, config: ModelConfig, encoded: Array,
     done = jnp.logical_or(done, next_token == EOS_ID)
     return (next_token, state, buf, done, step + 1, rng)
 
+  # Every while iteration advances steps_per_iter tokens, so it must
+  # divide every stage boundary (bucket multiples and max_decode_len) —
+  # otherwise the final iteration would overshoot and the clamped
+  # dynamic_update_slice writes would corrupt the last positions.  Clamp
+  # to the largest safe value (static Python, resolved at trace time).
+  import math
+  steps_per_iter = math.gcd(math.gcd(steps_per_iter, bucket_size),
+                            max_decode_len)
+
   def body(carry):
     for _ in range(steps_per_iter):
       carry = one_step(carry)
     return carry
-
-  if bucket_size % steps_per_iter:
-    raise ValueError('steps_per_iter must divide bucket_size')
 
   step = jnp.array(0, jnp.int32)
   for bucket_end in range(bucket_size, max_decode_len + bucket_size,

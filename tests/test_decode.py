@@ -152,3 +152,17 @@ def test_steps_per_iter_invariance(config, setup):
   np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
   np.testing.assert_array_equal(np.asarray(t1), np.asarray(t4))
   np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_steps_per_iter_non_divisible_length(config, setup):
+  """max_decode_len not divisible by steps_per_iter must not corrupt the
+  tail (the unroll is clamped to a safe divisor at trace time)."""
+  params, encoded = setup[0], setup[1]
+  ref, ref_len = decode.decode_tokens(params, config, encoded,
+                                      max_decode_len=21, bucket_size=8,
+                                      forbid_eos=True)
+  out, out_len = decode.decode_tokens(params, config, encoded,
+                                      max_decode_len=21, bucket_size=8,
+                                      forbid_eos=True, steps_per_iter=16)
+  np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+  np.testing.assert_array_equal(np.asarray(out_len), np.asarray(ref_len))
