@@ -392,3 +392,59 @@ def test_train_batches_with_mixing():
   shifts = [i for i in decoded if 0 <= i <= codec.max_shift_steps
             and codec.is_shift_event_index(i)]
   assert shifts == sorted(shifts)
+
+
+def test_overfit_transcribe_gqa_end_to_end(spec_config):
+  """Grouped-query attention end to end: train a 1-KV-head model from
+  scratch, transcribe, assert perfect onset recovery.  The from-scratch
+  GQA story behind the 240 audio-s/s decode measurement (PERF.md)."""
+  import jax
+  from mt3_tpu.core.config import MT3Config
+  from mt3_tpu.core.note_sequence import sequence_to_valued_intervals
+  from mt3_tpu.eval import transcription
+  from mt3_tpu.infer import transcribe as transcribe_lib
+  from mt3_tpu.ops import spectrogram as spec_lib
+  from mt3_tpu.train import trainer as trainer_lib
+
+  vocab_config = VocabularyConfig(num_velocity_bins=1)
+  codec = vocabulary.build_codec(vocab_config)
+  vocab = vocabulary.vocabulary_from_codec(codec)
+  model_config = ModelConfig(
+      vocab_size=vocabulary.num_embeddings(vocab), emb_dim=128,
+      num_heads=4, num_kv_heads=1, num_encoder_layers=2,
+      num_decoder_layers=2, head_dim=16, mlp_dim=256, dropout_rate=0.0,
+      input_depth=512, max_positions=512, dtype='bfloat16',
+      decode_kv_quantize=True, decode_cross_kv_quantize=True)
+  run_config = RunConfig(inputs_length=256, targets_length=160,
+                         batch_size=4, learning_rate=3e-3,
+                         warmup_steps=10, use_ties=True)
+
+  source = datasets.SyntheticDataSource(num_examples=1, duration=2.0,
+                                        seed=13, polyphony=1)
+  example = next(source.examples())
+  pipe_cfg = pipeline.TrainPipelineConfig(
+      inputs_length=run_config.inputs_length,
+      targets_length=run_config.targets_length,
+      batch_size=run_config.batch_size)
+  batches = pipeline.train_batches([example], spec_config, codec, vocab,
+                                   pipe_cfg)
+  tr = trainer_lib.Trainer(model_config=model_config,
+                           run_config=run_config)
+  batch = next(batches)
+  batch['encoder_input_tokens'] = np.asarray(spec_lib.frames_to_logmel(
+      batch['encoder_input_frames'], spec_config))
+  for _ in range(150):
+    metrics = tr.step(batch)
+  assert float(metrics['accuracy']) > 0.9, float(metrics['accuracy'])
+
+  config = MT3Config('gqa', spec_config, vocab_config, model_config,
+                     run_config)
+  transcriber = transcribe_lib.Transcriber(config, tr.state.params)
+  est_ns = transcriber(example['audio'])
+  ref_intervals, ref_pitches, _ = sequence_to_valued_intervals(
+      example['sequence'])
+  est_intervals, est_pitches, _ = sequence_to_valued_intervals(est_ns)
+  _, _, f1, _ = transcription.precision_recall_f1_overlap(
+      ref_intervals, ref_pitches, est_intervals, est_pitches,
+      offset_ratio=None)
+  assert f1 > 0.9, f1
