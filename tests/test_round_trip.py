@@ -157,3 +157,93 @@ def test_round_trip_with_velocity_bins():
   got = sorted((n.pitch, n.velocity) for n in est.notes)
   want = sorted((n.pitch, n.velocity) for n in ns.notes)
   assert got == want  # 127 bins round-trip velocities exactly
+
+
+@pytest.mark.parametrize('seed', list(range(10)))
+def test_round_trip_fuzz_random_sequences(seed):
+  """Randomized round trip: arbitrary multi-program/drum NoteSequences
+  survive tokenize -> random segment slicing -> stitch with exact note
+  recovery (10 ms quantization tolerance).
+
+  Hits the rewritten encode_and_index_events / tie-section machinery
+  with irregular segment boundaries and dense polyphony.
+  """
+  rng = np.random.RandomState(seed)
+  vocab_config = VocabularyConfig(num_velocity_bins=127)
+  codec = vocabulary.build_codec(vocab_config)
+
+  # Random corpus: up to 40 notes, 4 programs + drums.
+  ns = NoteSequence()
+  programs = [0, 24, 32, 40]
+  for _ in range(int(rng.randint(10, 40))):
+    start = float(rng.uniform(0, 7.5))
+    if rng.rand() < 0.2:
+      ns.add_note(pitch=int(rng.randint(35, 60)),
+                  velocity=int(rng.randint(1, 128)),
+                  start_time=start, end_time=start + 0.01, is_drum=True)
+    else:
+      ns.add_note(pitch=int(rng.randint(21, 108)),
+                  velocity=int(rng.randint(1, 128)),
+                  start_time=start,
+                  end_time=start + float(rng.uniform(0.05, 3.0)),
+                  program=int(programs[rng.randint(len(programs))]))
+  ns.total_time = max(n.end_time for n in ns.notes)
+  # The event vocabulary cannot represent overlapping same-pitch notes.
+  ns = note_events.trim_overlapping_notes(ns)
+
+  frame_times = np.arange(int(ns.total_time * 125) + 2) / 125.0
+  (events, start_indices, end_indices, state_events,
+   state_indices) = _encode_with_ties(ns, codec, frame_times)
+
+  # Random segmentation: 2-5 segments at random frame boundaries.
+  n_frames = len(frame_times)
+  cuts = sorted(rng.choice(np.arange(1, n_frames - 1),
+                           size=int(rng.randint(1, 5)), replace=False))
+  bounds = [0] + [int(c) for c in cuts] + [n_frames]
+
+  tie_token = codec.encode_event(note_events.Event('tie', 0))
+  predictions = []
+  for lo, hi in zip(bounds[:-1], bounds[1:]):
+    # The production per-segment chain (pipeline.prepare_train_example):
+    # slice targets by the frame->event index maps, prepend the tie
+    # section, collapse shifts to absolute steps.
+    features = {
+        'targets': events,
+        'input_event_start_indices': start_indices[lo:hi],
+        'input_event_end_indices': end_indices[lo:hi],
+        'state_events': state_events,
+        'input_state_event_indices': state_indices[lo:hi],
+    }
+    features = run_length.extract_target_sequence_with_indices(
+        features, state_events_end_token=tie_token)
+    seg_tokens = run_length.run_length_encode_shifts(
+        np.asarray(features['targets'], np.int32), codec)
+    seg_tokens = run_length.remove_redundant_state_changes(
+        seg_tokens, codec, state_change_event_types=['velocity',
+                                                     'program'])
+    predictions.append({
+        'est_tokens': np.asarray(seg_tokens, np.int32),
+        'start_time': frame_times[lo],
+        'raw_inputs': np.zeros(0, np.float32),
+        'unique_id': 0,
+    })
+
+  result = postprocess.event_predictions_to_ns(
+      predictions, codec, note_events.NoteEncodingWithTiesSpec)
+  est = result['est_ns']
+  assert result['est_invalid_events'] == 0
+  assert result['est_dropped_events'] == 0
+  assert sequences_approx_equal(
+      _quantized(ns), _quantized(est), time_tol=0.011), (
+          len(ns.notes), len(est.notes))
+
+
+def _quantized(ns):
+  out = ns.copy()
+  for note in out.notes:
+    note.start_time = round(note.start_time * 100) / 100
+    note.end_time = round(note.end_time * 100) / 100
+    # Drums decode with the fixed default duration.
+    if note.is_drum:
+      note.end_time = note.start_time + 0.01
+  return out
