@@ -205,6 +205,8 @@ def _configure_native(lib):
       ctypes.c_void_p, np.ctypeslib.ndpointer(np.float64)]
   lib.tfx_ns_id.restype = ctypes.c_char_p
   lib.tfx_ns_id.argtypes = [ctypes.c_void_p]
+  lib.tfx_ns_filename.restype = ctypes.c_char_p
+  lib.tfx_ns_filename.argtypes = [ctypes.c_void_p]
   lib.tfx_free_notesequence.argtypes = [ctypes.c_void_p]
   _NATIVE_CONFIGURED = True
 
@@ -220,6 +222,8 @@ def _notesequence_from_bytes_native(lib, data: bytes) -> NoteSequence:
     ns = NoteSequence(total_time=header.total_time,
                       ticks_per_quarter=header.ticks_per_quarter or 220)
     ns.id = (lib.tfx_ns_id(handle) or b'').decode('utf-8', errors='replace')
+    ns.filename = (lib.tfx_ns_filename(handle) or b'').decode(
+        'utf-8', errors='replace')
     if header.num_notes:
       cols = np.empty((header.num_notes, 7), np.float64)
       lib.tfx_ns_notes(handle, cols)

@@ -206,12 +206,7 @@ def read_wav(path, expected_rate: int) -> np.ndarray:
     raise ValueError(f'unsupported sample width: {width}')
   if channels > 1:
     samples = samples.reshape(-1, channels).mean(axis=1)
-  if rate != expected_rate:
-    from scipy.signal import resample_poly
-    from math import gcd
-    g = gcd(rate, expected_rate)
-    samples = resample_poly(samples, expected_rate // g, rate // g)
-  return samples.astype(np.float32)
+  return resample_audio(samples, rate, expected_rate)
 
 
 class LocalPairsDataSource(DataSource):
@@ -483,6 +478,12 @@ class ReferenceTFRecordDataSource(DataSource):
     self._len = None
 
   def __len__(self):
+    """Record count across shards.
+
+    An upper bound on len(list(examples())): tracks with pitch bends
+    are skipped at iteration time when ignore_pitch_bends=False
+    (counting them up front would require a full parse pass).
+    """
     if self._len is None:
       from mt3_tpu.data import tfrecord
       self._len = sum(

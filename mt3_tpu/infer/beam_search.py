@@ -152,7 +152,9 @@ def beam_search(params, config: ModelConfig, encoded: Array,
         cache=jax.tree_util.tree_map(reshuffle, new_state.cache),
         cross_k=new_state.cross_k,  # identical across beams
         cross_v=new_state.cross_v,
-        index=new_state.index)
+        index=new_state.index,
+        cross_k_scale=new_state.cross_k_scale,
+        cross_v_scale=new_state.cross_v_scale)
 
     return (step + 1, new_alive_tokens.reshape(-1), new_state,
             new_alive_scores, new_alive_seqs, new_finished_seqs,

@@ -201,8 +201,15 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
     key = jnp.repeat(key, group, axis=2)
     value = jnp.repeat(value, group, axis=2)
 
+  if flash_mode not in (None, 'causal', 'full'):
+    raise ValueError(f'unknown flash_mode: {flash_mode}')
   if flash_mode is not None and (dropout_rng is None
                                  or dropout_rate == 0.0):
+    # The bias argument is intentionally ignored here: callers may only
+    # pass flash_mode when the bias is exactly the causal mask
+    # ('causal') or no mask at all ('full').  If sequence packing or
+    # any other nontrivial bias is ever introduced, those call sites
+    # must stop passing flash_mode.
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, flash_attention)
     bq = min(512, q_len)
@@ -344,6 +351,13 @@ def attention_decode_step(
   key = dense(params['key'], x, dtype).reshape(b, kv_heads, head_dim)
   value = dense(params['value'], x, dtype).reshape(b, kv_heads, head_dim)
 
+  if attention_impl == 'xla_int8dot' and cache_k_scale is None:
+    raise ValueError(
+        "decode_attention_impl='xla_int8dot' requires decode_kv_quantize")
+  if attention_impl.startswith('pallas') and cache_k_scale is not None:
+    raise ValueError(
+        'pallas decode kernels do not support quantized caches; '
+        'use the xla implementations with decode_kv_quantize')
   if cache_k_scale is not None:
     zero = jnp.zeros((), jnp.int32)
     key_q, key_scale = _quantize_kv(key, cache_k.dtype)

@@ -279,6 +279,7 @@ struct ParsedNoteSequence {
   double total_time = 0.0;
   int ticks_per_quarter = 0;
   std::string id;
+  std::string filename;
 };
 
 bool read_double_value(const uint8_t*& p, const uint8_t* end, double* out) {
@@ -361,6 +362,11 @@ bool parse_notesequence(const uint8_t* data, size_t len,
       Slice msg;
       if (!read_length_delimited(p, end, &msg)) return false;
       ns->id.assign(reinterpret_cast<const char*>(msg.data), msg.len);
+    } else if (field == 2 && wire == 2) {  // filename
+      Slice msg;
+      if (!read_length_delimited(p, end, &msg)) return false;
+      ns->filename.assign(reinterpret_cast<const char*>(msg.data),
+                          msg.len);
     } else {
       if (!skip_field(p, end, wire)) return false;
     }
@@ -568,6 +574,10 @@ void tfx_ns_tempos(void* handle, double* out) {
 
 const char* tfx_ns_id(void* handle) {
   return static_cast<ParsedNoteSequence*>(handle)->id.c_str();
+}
+
+const char* tfx_ns_filename(void* handle) {
+  return static_cast<ParsedNoteSequence*>(handle)->filename.c_str();
 }
 
 }  // extern "C"

@@ -166,3 +166,17 @@ def test_steps_per_iter_non_divisible_length(config, setup):
                                       forbid_eos=True, steps_per_iter=16)
   np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
   np.testing.assert_array_equal(np.asarray(out_len), np.asarray(ref_len))
+
+
+def test_beam_search_with_quantized_caches(config, setup):
+  """Beam search carries the cross-KV scale fields (reachable via
+  `transcribe --num_beams N --int8_kv`)."""
+  from mt3_tpu.core.config import ModelConfig
+  q_config = ModelConfig(**{**config.__dict__,
+                            'decode_kv_quantize': True,
+                            'decode_cross_kv_quantize': True})
+  params, encoded = setup
+  tokens, scores = beam_search.beam_search(params, q_config, encoded,
+                                           max_decode_len=12, num_beams=2)
+  assert np.asarray(tokens).shape == (3, 12)
+  assert np.isfinite(np.asarray(scores)).all()

@@ -1,11 +1,12 @@
-"""int8 KV + cross-KV quality gate on a partially trained (non-overfit) model.
+"""int8/int4 KV + cross-KV quality gates on a partially trained model.
 
 Round-1 certified int8 KV quantization only on an overfit model —
 saturated logit margins, the easiest case (VERDICT weak #3).  Here a tiny
-model is trained to partial convergence on a multi-example synthetic
-corpus (so logit margins stay realistic), then the same eval clips are
-decoded with the bf16 and int8-KV cache paths; the bench config's int8
-claim is gated on the F1 delta.
+model is trained to partial convergence (token accuracy ~0.78, loss still
+falling) on a multi-example synthetic corpus so logit margins stay
+realistic, then the same clips are decoded with the bf16 / int8 / int4
+cache paths; the bench config's quantization claims are gated on the F1
+deltas.
 """
 
 import jax
@@ -64,8 +65,13 @@ def trained_setup():
       if final_acc >= 0.75:
         break
 
-  # Eval on training-distribution clips NOT identical to any train step's
-  # crop (fresh full-length clips from the same generator).
+  # Eval clips come from the same generator seed, i.e. they ARE the
+  # training clips (full length, vs the random crops seen in training).
+  # That is deliberate: what this gate needs is realistic (non-saturated)
+  # logit margins — token accuracy stops around 0.78, far from
+  # memorization — on inputs the model transcribes at a usable F1.
+  # Truly held-out clips at this model scale score too low (~0.1 F1) for
+  # a quantization delta to be meaningful (measured; see PERF.md).
   eval_source = datasets.SyntheticDataSource(
       num_examples=2, duration=2.0, seed=21, polyphony=1)
   eval_examples = list(eval_source.examples())

@@ -58,6 +58,7 @@ def test_python_and_native_parsers_agree():
   ns = _sample_ns()
   ns.notes[0].program = 40
   ns.notes[0].instrument = 3
+  ns.filename = 'some/file.midi'
   data = noteseq_proto.notesequence_to_bytes(ns)
   py = noteseq_proto._notesequence_from_bytes_py(data)
   if not tfrecord.native_available():
@@ -70,6 +71,7 @@ def test_python_and_native_parsers_agree():
            (b.pitch, b.velocity, b.program, b.instrument, b.is_drum)
     assert abs(a.start_time - b.start_time) < 1e-12
   assert py.id == nat.id and py.total_time == nat.total_time
+  assert py.filename == nat.filename == 'some/file.midi'
 
 
 def test_unknown_fields_skipped():

@@ -34,7 +34,11 @@ def main():
                       choices=['full', 'dots'])
   parser.add_argument('--flash', action='store_true',
                       help='stock TPU Pallas flash attention (no score '
-                           'materialization; disables attention dropout)')
+                           'materialization); implies --no_dropout, '
+                           'since the kernel has no attention dropout')
+  parser.add_argument('--no_dropout', action='store_true',
+                      help='dropout_rate=0 (use for an apples-to-apples '
+                           'baseline against --flash)')
   parser.add_argument('--iters', type=int, default=5)
   parser.add_argument('--profile', default=None,
                       help='capture a jax profiler trace of one step')
@@ -46,7 +50,11 @@ def main():
       **config.model.__dict__,
       'dtype': 'bfloat16' if args.bf16 else 'float32',
       'remat': args.remat, 'remat_policy': args.remat_policy,
-      'train_attention_impl': 'flash' if args.flash else 'xla'})
+      'train_attention_impl': 'flash' if args.flash else 'xla',
+      # Flash has no attention dropout; the gate in layers.attention
+      # falls back to XLA whenever a dropout rng is live.
+      'dropout_rate': (0.0 if (args.flash or args.no_dropout)
+                       else config.model.dropout_rate)})
   run = config.run
 
   tr = trainer_lib.Trainer(model_config=model_config, run_config=run)
