@@ -290,3 +290,30 @@ def test_sharded_glob_paths(tmp_path, spec_config):
       str(tmp_path / 'data.tfrecord-?????-of-00002'), spec_config)
   assert len(source.paths) == 2
   assert len(list(source.examples())) == 2
+
+
+def test_urmp_schema_instrument_tracks(tmp_path, spec_config):
+  """URMP layout: instrument_sequences + inst_names with per-instrument
+  program lookup (reference datasets.py:141-163)."""
+  vn = NoteSequence(total_time=1.0)
+  vn.notes = [Note(pitch=76, velocity=90, start_time=0.1, end_time=0.9)]
+  vc = NoteSequence(total_time=1.0)
+  vc.notes = [Note(pitch=48, velocity=85, start_time=0.2, end_time=1.0)]
+  audio = np.zeros(16000, np.float32)
+  record = tfrecord.make_example({
+      'id': b'urmp-01',
+      'audio': _wav_bytes(audio, 16000),
+      'sequence': noteseq_proto.notesequence_to_bytes(vn),  # combined
+      'instrument_sequences': [noteseq_proto.notesequence_to_bytes(vn),
+                               noteseq_proto.notesequence_to_bytes(vc)],
+      'inst_names': [b'vn', b'vc'],
+      'tracks': np.array([0, 1], np.int64),
+  })
+  path = str(tmp_path / 'urmp.tfrecord')
+  tfrecord.write_records(path, [record])
+  source = datasets.ReferenceTFRecordDataSource(
+      datasets.URMP_CONFIG, path, spec_config)
+  (ex,) = source.examples()
+  programs = sorted(n.program for n in ex['sequence'].notes)
+  assert programs == [40, 42]  # violin, cello from the URMP lookup
+  assert ex['sequence'].id == 'urmp-01'
