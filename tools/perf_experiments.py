@@ -50,6 +50,8 @@ VARIANTS = {
     'int4_cross': ('dus', 'xla', 128, True, True, None, 4),
     # s8 x s8 -> s32 MXU attention einsums (no cache upconversion).
     'int8dot_cross': ('dus', 'xla_int8dot', 128, True, True),
+    # From-scratch ceiling: GQA (1 KV head) + int4 cache + int8 cross.
+    'int4_cross_gqa1': ('dus', 'xla', 128, True, True, 1, 4),
 }
 
 
