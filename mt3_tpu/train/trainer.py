@@ -114,6 +114,14 @@ def train_step(state: TrainState, batch: Mapping[str, jax.Array],
   new_params, new_opt_state = adafactor.apply_updates(
       state.params, grads, state.opt_state, lr)
   metrics['learning_rate'] = lr
+  # Observability parity with the t5x trainer: global gradient and
+  # parameter norms.
+  metrics['grad_norm'] = jnp.sqrt(sum(
+      jnp.sum(jnp.square(g.astype(jnp.float32)))
+      for g in jax.tree_util.tree_leaves(grads)))
+  metrics['param_norm'] = jnp.sqrt(sum(
+      jnp.sum(jnp.square(p.astype(jnp.float32)))
+      for p in jax.tree_util.tree_leaves(new_params)))
   new_state = TrainState(step=state.step + 1, params=new_params,
                          opt_state=new_opt_state)
   return new_state, metrics

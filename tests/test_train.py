@@ -265,3 +265,16 @@ def test_multihost_mesh_shapes():
                               partitioning.MODEL_AXIS: 2}
   # initialize() is a no-op for single-process runs.
   multihost.initialize(num_processes=1)
+
+
+def test_train_metrics_include_norms(model_config, run_config):
+  """Observability parity with t5x: grad_norm / param_norm per step."""
+  rng = np.random.RandomState(1)
+  batch = trainer.make_train_batch(
+      rng, 4, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  tr = trainer.Trainer(model_config=model_config, run_config=run_config)
+  metrics = tr.step(batch)
+  assert float(metrics['grad_norm']) > 0
+  assert float(metrics['param_norm']) > 0
+  assert np.isfinite(float(metrics['grad_norm']))
