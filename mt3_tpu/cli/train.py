@@ -172,6 +172,7 @@ def main(argv=None):
           file=sys.stderr)
 
   ckpt_period = args.checkpoint_period or run.checkpoint_period
+  last_saved_step = start_step
   start = time.time()
   for step in range(start_step, steps):
     batch = next(batches)
@@ -187,12 +188,16 @@ def main(argv=None):
         tb_writer.add_scalars(
             {f'train/{k}': float(v) for k, v in metrics.items()}, step)
     if args.checkpoint_dir and (step + 1) % ckpt_period == 0:
-      print(f'saved checkpoint: {tr.save(args.checkpoint_dir)}',
+      # Async: the write overlaps subsequent steps (finalized at exit).
+      print(f'saving checkpoint: '
+            f'{tr.save(args.checkpoint_dir, asynchronous=True)}',
             file=sys.stderr)
+      last_saved_step = step + 1
     if args.eval_period and (step + 1) % args.eval_period == 0:
       run_eval(step + 1)
 
-  if args.checkpoint_dir:
+  tr.finalize_saves()
+  if args.checkpoint_dir and last_saved_step != steps:
     print(f'saved final checkpoint: {tr.save(args.checkpoint_dir)}',
           file=sys.stderr)
   del ckpt_lib

@@ -28,6 +28,34 @@ def save_checkpoint(directory: str, step: int, state: PyTree) -> str:
   return path
 
 
+class AsyncCheckpointSaver:
+  """Non-blocking checkpoint saves (training overlaps the write).
+
+  The t5x trainer saves asynchronously so a multi-GB fp32 checkpoint
+  doesn't stall the step loop; same here via orbax's AsyncCheckpointer.
+  Call wait() before exiting (or rely on save() serializing with any
+  still-pending previous save).
+  """
+
+  def __init__(self):
+    self._checkpointer = ocp.AsyncCheckpointer(
+        ocp.StandardCheckpointHandler())
+
+  def save(self, directory: str, step: int, state: PyTree) -> str:
+    path = os.path.join(os.path.abspath(directory), f'checkpoint_{step}')
+    # orbax serializes overlapping saves internally; a new save waits for
+    # the previous one.
+    self._checkpointer.save(path, args=ocp.args.StandardSave(state))
+    return path
+
+  def wait(self) -> None:
+    self._checkpointer.wait_until_finished()
+
+  def close(self) -> None:
+    self.wait()
+    self._checkpointer.close()
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
   if not os.path.isdir(directory):
     return None

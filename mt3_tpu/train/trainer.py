@@ -137,6 +137,7 @@ class Trainer:
   num_microbatches: int = 0
 
   def __post_init__(self):
+    self._async_saver = None
     rng = jax.random.PRNGKey(self.seed)
     self.init_rng, self.dropout_rng = jax.random.split(rng)
     self.state, self.state_axes = init_train_state(
@@ -176,11 +177,25 @@ class Trainer:
                                         self.dropout_rng)
     return metrics
 
-  def save(self, directory: str) -> str:
-    """Checkpoint the full train state (params + optimizer + step)."""
+  def save(self, directory: str, asynchronous: bool = False) -> str:
+    """Checkpoint the full train state (params + optimizer + step).
+
+    asynchronous=True overlaps the write with subsequent train steps
+    (orbax AsyncCheckpointer; call finalize_saves() before exiting).
+    """
     from mt3_tpu.train import checkpoint as ckpt_lib
+    if asynchronous:
+      if self._async_saver is None:
+        self._async_saver = ckpt_lib.AsyncCheckpointSaver()
+      return self._async_saver.save(directory, int(self.state.step),
+                                    self.state._asdict())
     return ckpt_lib.save_checkpoint(directory, int(self.state.step),
                                     self.state._asdict())
+
+  def finalize_saves(self) -> None:
+    """Block until any pending asynchronous checkpoint completes."""
+    if self._async_saver is not None:
+      self._async_saver.wait()
 
   def restore(self, directory_or_path: str) -> int:
     """Restore the full train state; returns the restored step.

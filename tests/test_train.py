@@ -278,3 +278,27 @@ def test_train_metrics_include_norms(model_config, run_config):
   assert float(metrics['grad_norm']) > 0
   assert float(metrics['param_norm']) > 0
   assert np.isfinite(float(metrics['grad_norm']))
+
+
+def test_async_checkpoint_save(model_config, run_config, tmp_path):
+  """Async saves overlap training and land the same state on disk."""
+  rng = np.random.RandomState(2)
+  batch = trainer.make_train_batch(
+      rng, 4, run_config.inputs_length, run_config.targets_length,
+      model_config.input_depth, model_config.vocab_size)
+  tr = trainer.Trainer(model_config=model_config, run_config=run_config)
+  tr.step(batch)
+  tr.save(str(tmp_path), asynchronous=True)
+  tr.step(batch)  # training continues while the save streams
+  tr.save(str(tmp_path), asynchronous=True)
+  tr.finalize_saves()
+
+  from mt3_tpu.train import checkpoint as ckpt_lib
+  path = ckpt_lib.latest_checkpoint(str(tmp_path))
+  assert path.endswith('checkpoint_2')
+  tr2 = trainer.Trainer(model_config=model_config, run_config=run_config,
+                        seed=7)
+  assert tr2.restore(str(tmp_path)) == 2
+  for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                  jax.tree_util.tree_leaves(tr2.state.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
