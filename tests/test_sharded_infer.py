@@ -62,3 +62,29 @@ def test_beam_transcriber(tiny_setup):
   r2 = beam.transcribe(audio)
   # Both produce well-formed results (random weights: content arbitrary).
   assert 'est_ns' in r1 and 'est_ns' in r2
+
+
+def test_sharded_quantized_transcription(tiny_setup):
+  """The production quantization config (int4 self-attn + int8 cross)
+  compiles and runs under a DP+TP mesh, matching the unsharded result."""
+  import dataclasses
+  config, params, params_axes = tiny_setup
+  model_config = dataclasses.replace(
+      config.model, decode_kv_quantize=True, decode_kv_bits=4,
+      decode_cross_kv_quantize=True)
+  config = dataclasses.replace(config, model=model_config)
+  rng = np.random.RandomState(1)
+  audio = rng.randn(config.spectrogram.sample_rate * 2).astype(np.float32)
+
+  single = transcribe_lib.Transcriber(config, params)
+  ns_single = single.transcribe(audio)['est_ns']
+
+  mesh = partitioning.make_mesh(num_model_partitions=2)
+  sharded = transcribe_lib.Transcriber(config, params, mesh=mesh,
+                                       params_axes=params_axes)
+  ns_sharded = sharded.transcribe(audio)['est_ns']
+
+  assert len(ns_sharded.notes) == len(ns_single.notes)
+  for a, b in zip(ns_single.sorted_notes(), ns_sharded.sorted_notes()):
+    assert (a.pitch, a.program, a.is_drum) == (b.pitch, b.program,
+                                               b.is_drum)
