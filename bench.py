@@ -33,10 +33,10 @@ import numpy as np
 
 BASELINE_AUDIO_SEC_PER_SEC = 50.0  # north star: 50x real time per chip
 
-# BASELINE.json config #3 specifies 64 chunks/step; 512 is the same
+# BASELINE.json config #3 specifies 64 chunks/step; 1024 is the same
 # workload at the production batch size (throughput metric unchanged:
 # audio-seconds per wall-clock second per chip).
-NUM_SEGMENTS = 512
+NUM_SEGMENTS = 1024
 STEPS_PER_ITER = 16  # decode tokens per while-loop iteration (PERF.md)
 WARMUP_ITERS = 1
 TIMED_ITERS = 3
