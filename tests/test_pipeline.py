@@ -397,7 +397,7 @@ def test_train_batches_with_mixing():
 def test_overfit_transcribe_gqa_end_to_end(spec_config):
   """Grouped-query attention end to end: train a 1-KV-head model from
   scratch, transcribe, assert perfect onset recovery.  The from-scratch
-  GQA story behind the 240 audio-s/s decode measurement (PERF.md)."""
+  GQA + int4 story behind the 313 audio-s/s decode ceiling (PERF.md)."""
   import jax
   from mt3_tpu.core.config import MT3Config
   from mt3_tpu.core.note_sequence import sequence_to_valued_intervals
@@ -414,7 +414,8 @@ def test_overfit_transcribe_gqa_end_to_end(spec_config):
       num_heads=4, num_kv_heads=1, num_encoder_layers=2,
       num_decoder_layers=2, head_dim=16, mlp_dim=256, dropout_rate=0.0,
       input_depth=512, max_positions=512, dtype='bfloat16',
-      decode_kv_quantize=True, decode_cross_kv_quantize=True)
+      decode_kv_quantize=True, decode_kv_bits=4,
+      decode_cross_kv_quantize=True)
   run_config = RunConfig(inputs_length=256, targets_length=160,
                          batch_size=4, learning_rate=3e-3,
                          warmup_steps=10, use_ties=True)
