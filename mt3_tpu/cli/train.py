@@ -51,9 +51,31 @@ def main(argv=None):
   parser.add_argument('--num_model_partitions', type=int, default=1)
   parser.add_argument('--log_every', type=int, default=10)
   parser.add_argument('--seed', type=int, default=0)
+  # Model/run overrides for production runs (the gin-override analog).
+  parser.add_argument('--remat', action='store_true',
+                      help='rematerialize transformer layers (required '
+                           'for batch 256 on a 16 GB chip)')
+  parser.add_argument('--attention', default=None,
+                      choices=['xla', 'flash'],
+                      help='training attention impl override')
+  parser.add_argument('--dropout', type=float, default=None,
+                      help='dropout rate override (flash attention '
+                           'requires 0)')
+  parser.add_argument('--lr', type=float, default=None)
+  parser.add_argument('--bf16', action='store_true',
+                      help='bfloat16 activations')
+  parser.add_argument('--preload_cache', action='store_true',
+                      help='decode the segment cache into RAM once '
+                           '(recommended at large batch sizes)')
+  parser.add_argument('--compile_cache', default='/root/repo/.jax_cache',
+                      help='persistent XLA compile cache dir '
+                           '(empty string disables)')
   args = parser.parse_args(argv)
 
   import jax
+  if args.compile_cache:
+    jax.config.update('jax_compilation_cache_dir', args.compile_cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
   from mt3_tpu.codec import vocabulary
   from mt3_tpu.core import config as config_lib
   from mt3_tpu.data import datasets, pipeline
@@ -61,7 +83,27 @@ def main(argv=None):
   from mt3_tpu.train import checkpoint as ckpt_lib
   from mt3_tpu.train import trainer as trainer_lib
 
+  import dataclasses
   config = config_lib.CONFIG_FACTORIES[args.model]()
+  model_overrides = {}
+  if args.remat:
+    model_overrides['remat'] = True
+  if args.attention is not None:
+    model_overrides['train_attention_impl'] = args.attention
+  if args.dropout is not None:
+    model_overrides['dropout_rate'] = args.dropout
+  if args.bf16:
+    model_overrides['dtype'] = 'bfloat16'
+  if model_overrides:
+    config = dataclasses.replace(
+        config, model=dataclasses.replace(config.model, **model_overrides))
+  if args.lr is not None:
+    config = dataclasses.replace(
+        config, run=dataclasses.replace(config.run, learning_rate=args.lr))
+  if (config.model.train_attention_impl == 'flash'
+      and config.model.dropout_rate > 0):
+    parser.error('flash attention requires --dropout 0 (the kernel has '
+                 'no attention dropout; see PERF.md)')
   run = config.run
   steps = args.steps if args.steps is not None else run.train_steps
   batch_size = args.batch_size or run.batch_size
@@ -91,7 +133,8 @@ def main(argv=None):
       print(f'built segment cache: {n} segments -> {args.cache_dir}',
             file=sys.stderr)
     raw_batches = pipeline.train_batches_from_cache(
-        args.cache_dir, codec, vocab, pipe_cfg)
+        args.cache_dir, codec, vocab, pipe_cfg,
+        preload=args.preload_cache)
   else:
     raw_batches = pipeline.train_batches(
         source.examples(), config.spectrogram, codec, vocab, pipe_cfg)
@@ -144,6 +187,12 @@ def main(argv=None):
     eval_source = datasets.SyntheticDataSource(
         num_examples=args.eval_examples, duration=4.0,
         sample_rate=config.spectrogram.sample_rate, seed=args.seed + 1)
+  elif args.data.startswith('polysynth'):
+    from mt3_tpu.data.synth import PolyphonicSynthDataSource
+    eval_source = PolyphonicSynthDataSource(
+        num_examples=args.eval_examples, seed=args.seed + 1_000_000,
+        max_instruments=4,
+        sample_rate=config.spectrogram.sample_rate)
   else:
     eval_source = source
 

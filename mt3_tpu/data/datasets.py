@@ -401,6 +401,15 @@ def resolve_data_source(spec: str,
                                duration=4.0,
                                sample_rate=spectrogram_config.sample_rate,
                                seed=seed)
+  if spec.startswith('polysynth'):
+    # 'polysynth[:N[:seed]]' — polyphonic multi-program procedural corpus.
+    from mt3_tpu.data.synth import PolyphonicSynthDataSource
+    parts = spec.split(':')
+    n = int(parts[1]) if len(parts) > 1 else (num_examples or 64)
+    s = int(parts[2]) if len(parts) > 2 else seed
+    return PolyphonicSynthDataSource(
+        num_examples=n, seed=s, max_instruments=4,
+        sample_rate=spectrogram_config.sample_rate)
   if spec.endswith('.tfrecord') or '.tfrecord-' in spec:
     return ReferenceTFRecordDataSource(
         ALL_DATASET_CONFIGS[dataset], spec.split(','),

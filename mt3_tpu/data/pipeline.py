@@ -395,22 +395,45 @@ def cached_segments(cache_dir: str,
       yield buffer.pop()
 
 
+def preload_segments(cache_dir: str) -> List[Features]:
+  """Decode every cached segment into RAM once.
+
+  At flagship batch sizes the per-epoch TFRecord re-read + proto decode
+  dominates host pipeline time (~3.6 ms/example measured vs ~1.2 ms for
+  crop+RLE); decoded segments are ~0.5 MB each, so corpora up to tens of
+  GB fit comfortably in host RAM and epochs become pure numpy slicing.
+  """
+  return list(cached_segments(cache_dir, rng=None))
+
+
 def train_batches_from_cache(
     cache_dir: str,
     codec: event_codec.Codec,
     vocab: vocabulary.GenericTokenVocabulary,
     pipeline_config: 'TrainPipelineConfig',
+    preload: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
   """Infinite batch iterator over an offline segment cache.
 
   The per-epoch host work is just record decode + random crop + RLE of
   the cropped targets — the expensive tokenization (resample, event
-  indexing) happened once in build_segment_cache.
+  indexing) happened once in build_segment_cache.  With preload=True the
+  record decode also happens once (segments held in RAM; epochs are
+  full-corpus permutations instead of shard+buffer shuffles).
   """
   rng = np.random.RandomState(pipeline_config.seed)
 
-  def epoch(rng):
-    yield from cached_segments(cache_dir, rng)
+  if preload:
+    segments = preload_segments(cache_dir)
+    if not segments:
+      raise ValueError(f'no cache segments in {cache_dir}')
+
+    def epoch(rng):
+      for idx in rng.permutation(len(segments)):
+        yield segments[idx]
+  else:
+    def epoch(rng):
+      yield from cached_segments(cache_dir, rng)
 
   yield from _batches_over_epochs(epoch, codec, vocab, pipeline_config,
                                   rng)
