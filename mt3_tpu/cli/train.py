@@ -59,8 +59,7 @@ def main(argv=None):
                       choices=['xla', 'flash'],
                       help='training attention impl override')
   parser.add_argument('--dropout', type=float, default=None,
-                      help='dropout rate override (flash attention '
-                           'requires 0)')
+                      help='dropout rate override')
   parser.add_argument('--lr', type=float, default=None)
   parser.add_argument('--bf16', action='store_true',
                       help='bfloat16 activations')
@@ -100,10 +99,6 @@ def main(argv=None):
   if args.lr is not None:
     config = dataclasses.replace(
         config, run=dataclasses.replace(config.run, learning_rate=args.lr))
-  if (config.model.train_attention_impl == 'flash'
-      and config.model.dropout_rate > 0):
-    parser.error('flash attention requires --dropout 0 (the kernel has '
-                 'no attention dropout; see PERF.md)')
   run = config.run
   steps = args.steps if args.steps is not None else run.train_steps
   batch_size = args.batch_size or run.batch_size

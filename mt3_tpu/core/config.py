@@ -135,8 +135,10 @@ class ModelConfig:
   decode_cache_update: str = 'dus'
   # Training/teacher-forced attention implementation: 'xla' (einsum +
   # materialized [b,h,q,k] scores, exact reference numerics) or 'flash'
-  # (stock TPU Pallas blockwise kernel — no score materialization; only
-  # active when attention dropout is off).
+  # (stock TPU Pallas blockwise kernel — no score materialization).
+  # Attention dropout composes with flash via a pre-kernel V rescale
+  # that is exactly the reference's query-broadcast weight dropout
+  # (layers.attention).
   train_attention_impl: str = 'xla'
   # Decode tokens per while-loop iteration (unrolling amortizes the
   # fixed per-step cost; 16 measured best on v5e, PERF.md).  Must divide

@@ -184,8 +184,14 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
   is exactly the causal mask / no mask: true for all three training
   attention sites with unpacked data (padded keys sit past every valid
   query under causality, and outputs at padded query positions carry
-  zero loss weight).  Attention dropout is not supported by the kernel,
-  so flash is skipped when a dropout rng is live.
+  zero loss weight).
+
+  Attention dropout composes with flash exactly: the reference broadcasts
+  the post-softmax dropout mask along the query dim
+  (/root/reference/mt3/layers.py:146-156, mask [b,h,1,k]), and for a
+  q-independent mask, weights*mask @ V == weights @ (V*mask') — so the
+  dropout is applied as a per-(b,h,k) rescale of V *before* the kernel,
+  bit-identical in expectation and sample to the XLA path's mask draw.
   """
   b, q_len, _ = inputs_q.shape
   k_len = inputs_kv.shape[1]
@@ -203,8 +209,19 @@ def attention(params: PyTree, inputs_q: Array, inputs_kv: Array,
 
   if flash_mode not in (None, 'causal', 'full'):
     raise ValueError(f'unknown flash_mode: {flash_mode}')
-  if flash_mode is not None and (dropout_rng is None
-                                 or dropout_rate == 0.0):
+  # The stock kernel's backward pass mis-tiles below one (8,128) TPU tile
+  # (e.g. the tiny preset's 8-frame encoder); flash has no advantage at
+  # those sizes, so fall back to the einsum path.  The dropout mask draw
+  # below is identical on both paths, so numerics stay consistent.
+  if flash_mode is not None and min(q_len, k_len) >= 128:
+    if dropout_rng is not None and dropout_rate > 0.0:
+      # Same mask draw as the XLA path below ([b, h, 1, k]); folded into
+      # V rows, which is exact for a query-broadcast mask.
+      keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                  (b, num_heads, 1, k_len))
+      mult = (keep.astype(dtype)
+              / jnp.asarray(1.0 - dropout_rate, dtype))  # [b, h, 1, k]
+      value = value * jnp.transpose(mult, (0, 3, 1, 2))  # [b, k, h, 1]
     # The bias argument is intentionally ignored here: callers may only
     # pass flash_mode when the bias is exactly the causal mask
     # ('causal') or no mask at all ('full').  If sequence packing or

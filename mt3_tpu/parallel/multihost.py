@@ -45,9 +45,14 @@ def make_multihost_mesh(num_model_partitions: int = 1,
     from jax.experimental import mesh_utils
     n = jax.device_count()
     ici_data = n // dcn_data_parallelism // num_model_partitions
+    # On TPU multi-slice the DCN granule is the slice (slice_index); on
+    # CPU/GPU clusters (and the multi-process tests) devices carry no
+    # distinct slice_index, so the process is the granule.
+    slice_ids = {getattr(d, 'slice_index', 0) for d in jax.devices()}
     devices = mesh_utils.create_hybrid_device_mesh(
         (ici_data, num_model_partitions),
-        (dcn_data_parallelism, 1))
+        (dcn_data_parallelism, 1),
+        process_is_granule=len(slice_ids) < dcn_data_parallelism)
     devices = np.asarray(devices).reshape(-1, num_model_partitions)
     return jax.sharding.Mesh(
         devices, (partitioning.DATA_AXIS, partitioning.MODEL_AXIS))

@@ -140,17 +140,30 @@ class Trainer:
     self._async_saver = None
     rng = jax.random.PRNGKey(self.seed)
     self.init_rng, self.dropout_rng = jax.random.split(rng)
-    self.state, self.state_axes = init_train_state(
-        self.init_rng, self.model_config)
 
     if self.mesh is not None:
+      # Trace the initializer abstractly to recover the logical-axes
+      # pytree without materializing parameters, then run it jitted with
+      # sharded outputs — each device materializes only its own shard,
+      # which also works when the mesh spans multiple processes (where a
+      # host-side init + device_put of non-addressable shards cannot).
+      captured = {}
+
+      def _state_only(rng):
+        state, axes = init_train_state(rng, self.model_config)
+        captured['axes'] = axes
+        return state
+
+      jax.eval_shape(_state_only, self.init_rng)
+      self.state_axes = captured['axes']
       is_axes = lambda x: isinstance(x, tuple) and all(
           isinstance(e, str) for e in x)
       state_shardings = jax.tree_util.tree_map(
           lambda a: jax.sharding.NamedSharding(
               self.mesh, partitioning.logical_to_spec(a)),
           self.state_axes, is_leaf=is_axes)
-      self.state = jax.device_put(self.state, state_shardings)
+      self.state = jax.jit(
+          _state_only, out_shardings=state_shardings)(self.init_rng)
       self._step_fn = jax.jit(
           functools.partial(train_step, model_config=self.model_config,
                             run_config=self.run_config,
@@ -159,6 +172,8 @@ class Trainer:
           out_shardings=(state_shardings, None),
           donate_argnums=(0,))
     else:
+      self.state, self.state_axes = init_train_state(
+          self.init_rng, self.model_config)
       self._step_fn = jax.jit(
           functools.partial(train_step, model_config=self.model_config,
                             run_config=self.run_config,
@@ -168,8 +183,16 @@ class Trainer:
   def shard_batch(self, batch):
     if self.mesh is None:
       return batch
-    return jax.device_put(
-        batch, partitioning.batch_shardings(self.mesh, batch))
+    shardings = partitioning.batch_shardings(self.mesh, batch)
+    if jax.process_count() > 1:
+      # Multi-process: each process's pipeline yields its
+      # global_batch / process_count slice of the batch; assemble the
+      # global array from the per-process shards.
+      return jax.tree_util.tree_map(
+          lambda x, s: jax.make_array_from_process_local_data(
+              s, np.asarray(x)),
+          dict(batch), dict(shardings))
+    return jax.device_put(batch, shardings)
 
   def step(self, batch) -> dict:
     self.state, metrics = self._step_fn(self.state,

@@ -288,24 +288,67 @@ def test_flash_attention_matches_xla(config, params):
   at all valid positions; padded target positions carry no loss."""
   import jax.experimental.pallas.tpu as pltpu
   from mt3_tpu.core.config import ModelConfig
+  config = ModelConfig(**{**config.__dict__, 'max_positions': 256})
   flash_cfg = ModelConfig(**{**config.__dict__,
                              'train_attention_impl': 'flash'})
   b = 2
   enc_in = jax.random.normal(jax.random.PRNGKey(41),
-                             (b, 64, config.input_depth))
+                             (b, 128, config.input_depth))
   # Padded targets: flash uses pure causal masking, which is equivalent
-  # for unpacked data at positions with nonzero loss weight.
-  tgt = np.zeros((b, 64), np.int32)
-  tgt[0, :50] = np.asarray(jax.random.randint(
-      jax.random.PRNGKey(42), (50,), 3, config.vocab_size))
-  tgt[1, :30] = np.asarray(jax.random.randint(
-      jax.random.PRNGKey(43), (30,), 3, config.vocab_size))
+  # for unpacked data at positions with nonzero loss weight.  Lengths
+  # >= 128 so the flash path actually engages (below one TPU tile it
+  # falls back to the einsum path).
+  tgt = np.zeros((b, 128), np.int32)
+  tgt[0, :100] = np.asarray(jax.random.randint(
+      jax.random.PRNGKey(42), (100,), 3, config.vocab_size))
+  tgt[1, :60] = np.asarray(jax.random.randint(
+      jax.random.PRNGKey(43), (60,), 3, config.vocab_size))
   inp = np.zeros_like(tgt)
   inp[:, 1:] = tgt[:, :-1]
 
   ref = np.asarray(t5.forward(params, config, enc_in, inp, tgt))
   with pltpu.force_tpu_interpret_mode():
     flash = np.asarray(t5.forward(params, flash_cfg, enc_in, inp, tgt))
+  valid = np.asarray(tgt) > 0
+  np.testing.assert_allclose(flash[valid], ref[valid], atol=2e-4,
+                             rtol=2e-4)
+
+
+def test_flash_attention_dropout_matches_xla(config, params):
+  """Flash with live attention dropout == XLA path with the same rng.
+
+  The reference's attention dropout broadcasts the mask along the query
+  dim (/root/reference/mt3/layers.py:146-156), so the flash path folds
+  it into V before the kernel (layers.attention); with an identical rng
+  the two paths draw the identical mask and must agree at every valid
+  position — making flash legal under the reference training recipe
+  (gin/model.gin:58, dropout 0.1).
+  """
+  import jax.experimental.pallas.tpu as pltpu
+  from mt3_tpu.core.config import ModelConfig
+  drop_cfg = ModelConfig(**{**config.__dict__, 'dropout_rate': 0.1,
+                            'max_positions': 256})
+  flash_cfg = ModelConfig(**{**drop_cfg.__dict__,
+                             'train_attention_impl': 'flash'})
+  b = 2
+  enc_in = jax.random.normal(jax.random.PRNGKey(51),
+                             (b, 128, config.input_depth))
+  tgt = np.zeros((b, 128), np.int32)
+  tgt[0, :100] = np.asarray(jax.random.randint(
+      jax.random.PRNGKey(52), (100,), 3, config.vocab_size))
+  tgt[1, :60] = np.asarray(jax.random.randint(
+      jax.random.PRNGKey(53), (60,), 3, config.vocab_size))
+  inp = np.zeros_like(tgt)
+  inp[:, 1:] = tgt[:, :-1]
+
+  rng = jax.random.PRNGKey(77)
+  ref = np.asarray(t5.forward(params, drop_cfg, enc_in, inp, tgt, rng=rng))
+  with pltpu.force_tpu_interpret_mode():
+    flash = np.asarray(
+        t5.forward(params, flash_cfg, enc_in, inp, tgt, rng=rng))
+  # Dropout actually fired (outputs differ from the deterministic pass).
+  det = np.asarray(t5.forward(params, drop_cfg, enc_in, inp, tgt))
+  assert np.max(np.abs(ref - det)) > 1e-3
   valid = np.asarray(tgt) > 0
   np.testing.assert_allclose(flash[valid], ref[valid], atol=2e-4,
                              rtol=2e-4)

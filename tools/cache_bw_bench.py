@@ -120,18 +120,46 @@ def main():
         f'{args.dtype}, K+V = {kv_bytes / 1e9:.2f} GB/iter, '
         f'iters {i_lo}/{i_hi} differenced')
 
-  # 1. Pure reduction: the layout's absolute read ceiling.
+  # 1. Pure reduction: the layout's absolute read ceiling.  The reduce
+  # is multiplied by the carry so XLA cannot hoist it out of the scan.
   def sum_fn(iters):
     k = build_cache(shape, dtype, 0)
     v = build_cache(shape, dtype, 1)
 
     def body(carry, _):
-      return (jnp.sum(k.astype(jnp.bfloat16))
-              + jnp.sum(v.astype(jnp.bfloat16)) + carry), ()
+      s = (jnp.sum(k.astype(jnp.bfloat16)) + jnp.sum(v.astype(jnp.bfloat16)))
+      return s * (jnp.bfloat16(1.0) + carry * jnp.bfloat16(1e-12)), ()
 
     return jax.lax.scan(body, jnp.bfloat16(0), None, length=iters)[0]
 
   report('sum: reduce K+V', timed(sum_fn, i_lo, i_hi), kv_bytes)
+
+  # 1b. Production dequant pattern: per-(b,h,position) fp32 scales folded
+  # into the logits and the V weights (infer/decode.py quantized path).
+  def scaled_fn(iters):
+    k = build_cache(shape, dtype, 0)
+    v = build_cache(shape, dtype, 1)
+    ks = jnp.abs(build_cache((L, b, H, length), jnp.float32, 2)) + 0.5
+    vs = jnp.abs(build_cache((L, b, H, length), jnp.float32, 3)) + 0.5
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (b, H, D), jnp.bfloat16)
+
+    def body(q, _):
+      outs = q
+      for layer in range(L):
+        logits = jnp.einsum('bhd,bhdl->bhl', outs,
+                            k[layer].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        logits = logits * ks[layer]
+        w = jax.nn.softmax(logits, axis=-1)
+        w = (w * vs[layer]).astype(jnp.bfloat16)
+        outs = jnp.einsum('bhl,bhdl->bhd', w, v[layer].astype(jnp.bfloat16))
+      return outs, ()
+
+    return jax.lax.scan(body, q0, None, length=iters)[0]
+
+  scale_bytes = 2 * 4 * L * b * H * length
+  report('scaled: einsum + fp32 scales (production)',
+         timed(scaled_fn, i_lo, i_hi), kv_bytes + scale_bytes)
 
   # 2. What decode does: per-layer M=1 einsums, softmax, weighted V.
   report('einsum: per-layer M=1 attention (decode)',

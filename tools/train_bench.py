@@ -34,11 +34,10 @@ def main():
                       choices=['full', 'dots'])
   parser.add_argument('--flash', action='store_true',
                       help='stock TPU Pallas flash attention (no score '
-                           'materialization); implies --no_dropout, '
-                           'since the kernel has no attention dropout')
+                           'materialization); attention dropout is '
+                           'applied as a pre-kernel V rescale')
   parser.add_argument('--no_dropout', action='store_true',
-                      help='dropout_rate=0 (use for an apples-to-apples '
-                           'baseline against --flash)')
+                      help='dropout_rate=0')
   parser.add_argument('--iters', type=int, default=5)
   parser.add_argument('--profile', default=None,
                       help='capture a jax profiler trace of one step')
@@ -51,9 +50,7 @@ def main():
       'dtype': 'bfloat16' if args.bf16 else 'float32',
       'remat': args.remat, 'remat_policy': args.remat_policy,
       'train_attention_impl': 'flash' if args.flash else 'xla',
-      # Flash has no attention dropout; the gate in layers.attention
-      # falls back to XLA whenever a dropout rng is live.
-      'dropout_rate': (0.0 if (args.flash or args.no_dropout)
+      'dropout_rate': (0.0 if args.no_dropout
                        else config.model.dropout_rate)})
   run = config.run
 
