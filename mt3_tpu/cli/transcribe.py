@@ -29,6 +29,10 @@ def main(argv=None):
                       choices=sorted(CONFIG_FACTORIES))
   parser.add_argument('--checkpoint', default=None,
                       help='checkpoint directory (latest step used)')
+  parser.add_argument('--t5x_checkpoint', default=None,
+                      help='published T5X checkpoint directory '
+                           '(gs://mt3/checkpoints layout: msgpack + '
+                           'TensorStore); converted on load')
   parser.add_argument('--output_dir', default='.')
   parser.add_argument('--temperature', type=float, default=0.0)
   parser.add_argument('--num_beams', type=int, default=0,
@@ -56,7 +60,15 @@ def main(argv=None):
       config.run)
 
   params, _ = t5.init_params(jax.random.PRNGKey(0), config.model)
-  if args.checkpoint:
+  if args.t5x_checkpoint:
+    from mt3_tpu.train import t5x_loader
+    print(f'converting t5x checkpoint {args.t5x_checkpoint}',
+          file=sys.stderr)
+    params = t5x_loader.load_t5x_params(
+        args.t5x_checkpoint,
+        num_encoder_layers=config.model.num_encoder_layers,
+        num_decoder_layers=config.model.num_decoder_layers)
+  elif args.checkpoint:
     path = ckpt_lib.latest_checkpoint(args.checkpoint) or args.checkpoint
     print(f'restoring checkpoint from {path}', file=sys.stderr)
     state = ckpt_lib.restore_checkpoint(path, {'params': params})

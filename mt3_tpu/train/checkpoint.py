@@ -125,7 +125,13 @@ def convert_t5x_param_dict(t5x_params: dict, num_encoder_layers: int,
   """
   def get(path):
     if path not in t5x_params:
-      raise KeyError(f'missing t5x param: {path}')
+      import difflib
+      close = difflib.get_close_matches(path, t5x_params, n=3, cutoff=0.5)
+      hint = f'; closest available: {close}' if close else ''
+      raise KeyError(
+          f'missing t5x param: {path!r} '
+          f'({len(t5x_params)} params in checkpoint{hint}; check '
+          'num_encoder_layers/num_decoder_layers match the checkpoint)')
     return np.asarray(t5x_params[path])
 
   def set_leaf(tree, key_path, value):

@@ -33,14 +33,45 @@ def _is_ts_spec(value) -> bool:
       'kvstore' in value or 'path' in value)
 
 
+def _find_target(state: dict) -> dict:
+  """Locate the model-parameter ('target') subtree in a restored tree.
+
+  Published T5X checkpoints wrap the parameters in an optimizer train
+  state — typically {'version': .., 'optimizer': {'target': {..},
+  'state': {'step', 'param_states': {..}}}} (t5x.checkpoints layout) —
+  while minimal exports put 'target' at the top level.  Optimizer
+  moments under 'state'/'param_states' are never touched (their
+  TensorStore specs are not even opened).
+  """
+  if not isinstance(state, dict):
+    raise ValueError(
+        f'checkpoint msgpack root is {type(state).__name__}, expected a '
+        'dict containing a "target" parameter subtree')
+  if isinstance(state.get('target'), dict):
+    return state['target']
+  for wrapper in ('optimizer', 'checkpoint', 'train_state'):
+    inner = state.get(wrapper)
+    if isinstance(inner, dict):
+      try:
+        return _find_target(inner)
+      except ValueError:
+        pass
+  raise ValueError(
+      "no 'target' parameter subtree found in checkpoint msgpack; "
+      f'top-level keys: {sorted(state)} (expected "target" directly or '
+      'under "optimizer" as written by t5x.checkpoints)')
+
+
 def load_t5x_checkpoint(checkpoint_dir: str,
                         restore_dtype=np.float32) -> Dict[str, np.ndarray]:
   """Read a T5X checkpoint directory -> flat {param_path: np.ndarray}.
 
   `checkpoint_dir` contains the msgpack file `checkpoint` plus
   `target.<dotted.param.path>/` TensorStore directories.  Only the
-  'target' (model parameter) subtree is returned; optimizer state is
-  skipped.
+  'target' (model parameter) subtree is returned; optimizer state
+  ('state'/'param_states', present in real training checkpoints) is
+  skipped without being read.  bfloat16 leaves — inline or TensorStore —
+  are upcast to `restore_dtype`.
   """
   from flax import serialization
 
@@ -48,7 +79,7 @@ def load_t5x_checkpoint(checkpoint_dir: str,
   with open(msgpack_path, 'rb') as f:
     state = serialization.msgpack_restore(f.read())
 
-  target = state.get('target', state)
+  target = _find_target(state)
   flat = _flatten(target)
 
   params = {}

@@ -9,11 +9,16 @@ import pytest
 def _write_ts_array(root, name, array):
   import tensorstore as ts
   path = os.path.join(root, name)
+  if array.dtype == np.float32:
+    dtype = '<f4'
+  elif array.dtype == np.float64:
+    dtype = '<f8'
+  else:
+    dtype = 'bfloat16'
   spec = {
       'driver': 'zarr',
       'kvstore': {'driver': 'file', 'path': path},
-      'metadata': {'shape': list(array.shape),
-                   'dtype': '<f4' if array.dtype == np.float32 else '<f8'},
+      'metadata': {'shape': list(array.shape), 'dtype': dtype},
   }
   store = ts.open(spec, create=True).result()
   store.write(array).result()
@@ -52,6 +57,105 @@ def test_load_synthetic_t5x_checkpoint(tmp_path):
       flat['encoder/layers_0/attention/query/kernel'], kernel)
   np.testing.assert_allclose(
       flat['encoder/layers_0/pre_attention_layer_norm/scale'], scale)
+
+
+def test_load_real_layout_optimizer_wrapper_skips_param_states(tmp_path):
+  """Published training checkpoints wrap params in an optimizer train
+  state ({'version', 'optimizer': {'target', 'state'}}); the loader must
+  find 'target' there and must NOT open the optimizer-moment TensorStore
+  specs under state/param_states (here they point at nonexistent dirs —
+  reading them would raise)."""
+  pytest.importorskip('tensorstore')
+  from flax import serialization
+  from mt3_tpu.train import t5x_loader
+
+  root = str(tmp_path)
+  rng = np.random.RandomState(1)
+  kernel = rng.randn(8, 16).astype(np.float32)
+  spec = _write_ts_array(
+      root, 'target.encoder.layers_0.attention.query.kernel', kernel)
+  bogus = {'driver': 'zarr',
+           'kvstore': {'driver': 'file', 'path': 'state.param_states.'
+                       'encoder.layers_0.attention.query.kernel.v'}}
+  tree = {
+      'version': 3,
+      'optimizer': {
+          'target': {
+              'encoder': {'layers_0': {'attention': {'query':
+                                                     {'kernel': spec}}}},
+          },
+          'state': {
+              'step': 100,
+              'param_states': {
+                  'encoder': {'layers_0': {'attention': {'query':
+                                                         {'v': bogus}}}},
+              },
+          },
+      },
+  }
+  with open(os.path.join(root, 'checkpoint'), 'wb') as f:
+    f.write(serialization.msgpack_serialize(tree))
+
+  flat = t5x_loader.load_t5x_checkpoint(root)
+  assert set(flat) == {'encoder/layers_0/attention/query/kernel'}
+  np.testing.assert_allclose(
+      flat['encoder/layers_0/attention/query/kernel'], kernel)
+
+
+def test_load_bfloat16_leaves_upcast(tmp_path):
+  """bf16 TensorStore arrays and inline bf16 msgpack leaves load as the
+  requested restore dtype (published checkpoints mix fp32/bf16)."""
+  pytest.importorskip('tensorstore')
+  import jax.numpy as jnp
+  from flax import serialization
+  from mt3_tpu.train import t5x_loader
+
+  root = str(tmp_path)
+  rng = np.random.RandomState(2)
+  kernel = rng.randn(8, 16).astype(jnp.bfloat16)
+  scale = rng.randn(8).astype(jnp.bfloat16)
+  spec = _write_ts_array(
+      root, 'target.encoder.layers_0.attention.query.kernel', kernel)
+  tree = {'target': {'encoder': {'layers_0': {
+      'attention': {'query': {'kernel': spec}},
+      'pre_attention_layer_norm': {'scale': scale},
+  }}}}
+  with open(os.path.join(root, 'checkpoint'), 'wb') as f:
+    f.write(serialization.msgpack_serialize(tree))
+
+  flat = t5x_loader.load_t5x_checkpoint(root)
+  assert flat['encoder/layers_0/attention/query/kernel'].dtype == np.float32
+  assert (flat['encoder/layers_0/pre_attention_layer_norm/scale'].dtype
+          == np.float32)
+  np.testing.assert_allclose(
+      flat['encoder/layers_0/attention/query/kernel'],
+      kernel.astype(np.float32))
+  np.testing.assert_allclose(
+      flat['encoder/layers_0/pre_attention_layer_norm/scale'],
+      scale.astype(np.float32))
+
+
+def test_missing_target_subtree_is_actionable(tmp_path):
+  """A checkpoint without a 'target' subtree reports what it did find."""
+  from flax import serialization
+  from mt3_tpu.train import t5x_loader
+
+  root = str(tmp_path)
+  with open(os.path.join(root, 'checkpoint'), 'wb') as f:
+    f.write(serialization.msgpack_serialize(
+        {'weights': {'w': np.zeros(3, np.float32)}}))
+  with pytest.raises(ValueError, match="no 'target'.*weights"):
+    t5x_loader.load_t5x_checkpoint(root)
+
+
+def test_missing_param_error_suggests_close_match():
+  """Layer-count mismatches fail with the closest available param paths."""
+  from mt3_tpu.train import checkpoint as ckpt
+  flat = {'encoder/layers_0/attention/query/kernel':
+          np.zeros((4, 8), np.float32)}
+  with pytest.raises(KeyError, match='closest available'):
+    ckpt.convert_t5x_param_dict(flat, num_encoder_layers=2,
+                                num_decoder_layers=2)
 
 
 def test_full_t5x_checkpoint_roundtrip_to_reference_logits(tmp_path):
