@@ -41,6 +41,12 @@ def main(argv=None):
   parser.add_argument('--int8_kv', action='store_true',
                       help='int8-quantize the decode KV caches (the '
                            'bench.py production configuration)')
+  parser.add_argument('--gqa_kv_heads', type=int, default=0,
+                      help='convert the loaded MHA checkpoint to '
+                           'grouped-query attention with N KV heads '
+                           '(mean-pooled; see PERF.md GQA ledger — '
+                           'expect some quality loss without a '
+                           'finetune/distill pass)')
   args = parser.parse_args(argv)
 
   from mt3_tpu.core import config as config_lib
@@ -54,12 +60,18 @@ def main(argv=None):
   model_config = config_lib.ModelConfig(
       **{**config.model.__dict__, 'dtype': 'bfloat16',
          'decode_kv_quantize': args.int8_kv,
-         'decode_cross_kv_quantize': args.int8_kv})
+         'decode_cross_kv_quantize': args.int8_kv,
+         **({'num_kv_heads': args.gqa_kv_heads}
+            if args.gqa_kv_heads else {})})
   config = config_lib.MT3Config(
       config.name, config.spectrogram, config.vocab, model_config,
       config.run)
 
-  params, _ = t5.init_params(jax.random.PRNGKey(0), config.model)
+  # Checkpoints on disk are MHA-shaped; init/restore with MHA dims and
+  # apply the GQA conversion afterwards.
+  load_model_config = config_lib.ModelConfig(
+      **{**config.model.__dict__, 'num_kv_heads': None})
+  params, _ = t5.init_params(jax.random.PRNGKey(0), load_model_config)
   if args.t5x_checkpoint:
     from mt3_tpu.train import t5x_loader
     print(f'converting t5x checkpoint {args.t5x_checkpoint}',
@@ -76,6 +88,13 @@ def main(argv=None):
   else:
     print('WARNING: no checkpoint given; using random weights',
           file=sys.stderr)
+
+  if args.gqa_kv_heads:
+    print(f'converting to GQA: {config.model.num_heads} -> '
+          f'{args.gqa_kv_heads} KV heads (mean-pooled)', file=sys.stderr)
+    params = ckpt_lib.convert_mha_to_gqa(
+        params, config.model.num_heads, config.model.head_dim,
+        args.gqa_kv_heads)
 
   transcriber = transcribe_lib.Transcriber(config, params,
                                            temperature=args.temperature,

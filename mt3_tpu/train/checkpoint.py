@@ -169,6 +169,46 @@ def convert_t5x_param_dict(t5x_params: dict, num_encoder_layers: int,
   return params
 
 
+def convert_mha_to_gqa(params: PyTree, num_heads: int, head_dim: int,
+                       num_kv_heads: int) -> PyTree:
+  """Checkpoint surgery: mean-pool K/V projection heads to num_kv_heads.
+
+  The reference checkpoints are 6-head MHA (gin/model.gin:51); the fast
+  decode configuration (PERF.md GQA ledger) wants few KV heads.  Each
+  group of num_heads//num_kv_heads adjacent K/V heads is averaged —
+  exact when the grouped heads are identical, and the standard warm
+  start for GQA distillation/finetuning otherwise (Ainslie et al. 2023).
+  Query and output projections are untouched (GQA keeps all query
+  heads).  Works on any attention params dict in the pytree — encoder
+  self-attention, decoder self- and cross-attention, scan-stacked
+  ([L, emb, h*d]) or not ([emb, h*d]).
+  """
+  if num_heads % num_kv_heads:
+    raise ValueError(f'{num_heads} heads not divisible by '
+                     f'{num_kv_heads} KV heads')
+  group = num_heads // num_kv_heads
+
+  def pool(kernel):
+    kernel = np.asarray(kernel)
+    *lead, joined = kernel.shape
+    if joined != num_heads * head_dim:
+      raise ValueError(f'K/V kernel trailing dim {joined} != '
+                       f'{num_heads} heads x {head_dim}')
+    grouped = kernel.reshape(*lead, num_kv_heads, group, head_dim)
+    return grouped.mean(axis=-2).reshape(*lead,
+                                         num_kv_heads * head_dim)
+
+  def walk(node):
+    if isinstance(node, dict):
+      if 'query' in node and 'key' in node and 'value' in node:
+        return {**node, 'key': pool(node['key']),
+                'value': pool(node['value'])}
+      return {k: walk(v) for k, v in node.items()}
+    return node
+
+  return walk(params)
+
+
 def flatten_params(params: PyTree, prefix: str = '') -> dict:
   """Flatten a nested param dict to {slash/path: leaf}."""
   out = {}

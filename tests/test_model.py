@@ -283,6 +283,70 @@ def test_int8dot_attention_close_to_fp32(config, params):
   assert err < 0.08 * scale, (err, scale)
 
 
+def test_mha_to_gqa_conversion_exact_when_heads_identical(config, params):
+  """convert_mha_to_gqa == original model when grouped K/V heads are
+  identical (mean-pooling is exact there); cached decode agrees too.
+
+  This is the conversion path for reference checkpoints (6 MHA heads,
+  gin/model.gin:51) into the fast-decode GQA configuration.
+  """
+  from mt3_tpu.train.checkpoint import convert_mha_to_gqa
+  num_kv = 2
+  group = config.num_heads // num_kv
+
+  def tile_heads(kernel):
+    # Make each group of K/V heads identical to its first head.
+    *lead, joined = kernel.shape
+    g = kernel.reshape(*lead, num_kv, group, config.head_dim)
+    return jnp.broadcast_to(g[..., :1, :], g.shape).reshape(kernel.shape)
+
+  tiled = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+  for stack in (tiled['encoder']['layers'],
+                tiled['decoder']['layers']):
+    for name in ('attention', 'self_attention', 'cross_attention'):
+      if name in stack:
+        stack[name] = {**stack[name],
+                       'key': tile_heads(stack[name]['key']),
+                       'value': tile_heads(stack[name]['value'])}
+
+  gqa_params = convert_mha_to_gqa(tiled, config.num_heads,
+                                  config.head_dim, num_kv)
+  gqa_config = ModelConfig(**{**config.__dict__, 'num_kv_heads': num_kv})
+  kshape = gqa_params['decoder']['layers']['self_attention']['key'].shape
+  assert kshape[-1] == num_kv * config.head_dim
+
+  b, enc_len, dec_len = 2, 6, 7
+  enc_in = jax.random.normal(jax.random.PRNGKey(8),
+                             (b, enc_len, config.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(9), (b, dec_len), 3, 100)
+  dec_in = jnp.concatenate(
+      [jnp.zeros((b, 1), jnp.int32), tokens[:, :-1]], axis=1)
+
+  ref = np.asarray(t5.forward(tiled, config, enc_in, dec_in, tokens))
+  gqa = np.asarray(t5.forward(gqa_params, gqa_config, enc_in, dec_in,
+                              tokens))
+  np.testing.assert_allclose(gqa, ref, atol=1e-5, rtol=1e-5)
+
+  # Cached decode through the GQA cache layout agrees as well.
+  encoded = t5.encode(gqa_params, gqa_config, enc_in)
+  state = t5.init_decode_state(gqa_params, gqa_config, encoded, dec_len)
+  assert state.cache.key.shape[2] == num_kv
+  outs = []
+  token = jnp.zeros((b,), jnp.int32)
+  for i in range(dec_len):
+    logits, state = t5.decode_step(gqa_params, gqa_config, token, state)
+    outs.append(logits)
+    token = tokens[:, i]
+  np.testing.assert_allclose(np.asarray(jnp.stack(outs, axis=1)), ref,
+                             atol=2e-4, rtol=1e-4)
+
+
+def test_mha_to_gqa_conversion_validates_shapes(config, params):
+  from mt3_tpu.train.checkpoint import convert_mha_to_gqa
+  with pytest.raises(ValueError, match='not divisible'):
+    convert_mha_to_gqa(params, config.num_heads, config.head_dim, 3)
+
+
 def test_flash_attention_matches_xla(config, params):
   """Stock TPU flash kernel (interpret mode on CPU) == einsum attention
   at all valid positions; padded target positions carry no loss."""
