@@ -36,6 +36,15 @@ def main(argv=None):
   parser.add_argument('--resume', action='store_true',
                       help='resume from latest checkpoint in '
                            'checkpoint_dir')
+  parser.add_argument('--init_from', default=None,
+                      help='warm-start parameters from a checkpoint '
+                           'directory/path with a fresh optimizer (the '
+                           'reference finetune recipe, '
+                           'gin/ismir2022/finetune.gin:21-24)')
+  parser.add_argument('--gqa_kv_heads', type=int, default=0,
+                      help='with --init_from: convert the (MHA) '
+                           'checkpoint to grouped-query attention with '
+                           'N KV heads before finetuning')
   parser.add_argument('--eval_period', type=int, default=0,
                       help='run transcription eval every N steps')
   parser.add_argument('--eval_data', default=None,
@@ -93,6 +102,8 @@ def main(argv=None):
     model_overrides['dropout_rate'] = args.dropout
   if args.bf16:
     model_overrides['dtype'] = 'bfloat16'
+  if args.gqa_kv_heads:
+    model_overrides['num_kv_heads'] = args.gqa_kv_heads
   if model_overrides:
     config = dataclasses.replace(
         config, model=dataclasses.replace(config.model, **model_overrides))
@@ -142,6 +153,21 @@ def main(argv=None):
   tr = trainer_lib.Trainer(model_config=config.model, run_config=run,
                            mesh=mesh, seed=args.seed)
   start_step = 0
+  if args.init_from:
+    from mt3_tpu.models import t5
+    load_config = dataclasses.replace(config.model, num_kv_heads=None)
+    template, _ = t5.init_params(jax.random.PRNGKey(0), load_config)
+    path = (ckpt_lib.latest_checkpoint(args.init_from) or args.init_from)
+    loaded = ckpt_lib.restore_checkpoint(path, {'params': template})
+    params = loaded['params']
+    if args.gqa_kv_heads:
+      print(f'converting to GQA: {config.model.num_heads} -> '
+            f'{args.gqa_kv_heads} KV heads', file=sys.stderr)
+      params = ckpt_lib.convert_mha_to_gqa(
+          params, config.model.num_heads, config.model.head_dim,
+          args.gqa_kv_heads)
+    tr.load_params(params)
+    print(f'warm-started params from {path}', file=sys.stderr)
   if args.resume and args.checkpoint_dir:
     try:
       start_step = tr.restore(args.checkpoint_dir)

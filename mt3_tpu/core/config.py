@@ -148,6 +148,14 @@ class ModelConfig:
   # (production; fastest measured) or 'pallas_v3' (aliased in-place
   # cache kernel, kept for TPU kernel coverage; see PERF.md).
   decode_attention_impl: str = 'xla'
+  # How the decode KV cache is carried across layers inside a step:
+  # 'stacked' writes each layer's new column into the full stacked
+  # [L,b,h,d,len] cache with one small dynamic_update_slice (in-place on
+  # the while-loop carry); 'scan' carries per-layer slices through
+  # lax.scan ys, whose stacked outputs rebuild the cache every decode
+  # step (a potential cache-sized HBM copy per token — see the PERF.md
+  # round-3 ledger for measurements).  pallas_v3 requires 'scan'.
+  decode_cache_carry: str = 'scan'
   # Rematerialize each transformer layer in the backward pass (trades
   # FLOPs for activation memory; enables large-batch training).
   remat: bool = False

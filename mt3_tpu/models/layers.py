@@ -490,6 +490,134 @@ def attention_decode_step(
   return out, cache_k, cache_v
 
 
+def self_attention_decode_stacked(
+    params: PyTree, x: Array, cache: KVCache, layer: int,
+    cache_index: Array, num_heads: int, head_dim: int,
+    dtype=jnp.float32, attention_impl: str = 'xla',
+    num_kv_heads: Optional[int] = None) -> Tuple[Array, KVCache]:
+  """Decode-step self-attention writing into the STACKED [L,..] cache.
+
+  Same math as attention_decode_step, but the new K/V column is written
+  with one small dynamic_update_slice into the full stacked cache at
+  (layer, ..., index) instead of carrying per-layer slices through scan
+  ys — rebuilding the stacked cache from scan outputs costs a
+  cache-sized HBM copy per decode step, the dominant avoidable traffic
+  at production batch sizes (PERF.md round 3).  Returns
+  (out [b, emb], new KVCache).
+  """
+  b = x.shape[0]
+  max_len = cache.key.shape[-1]
+  kv_heads = num_kv_heads or num_heads
+  group = num_heads // kv_heads
+  if attention_impl not in ('xla', 'xla_int8dot'):
+    raise ValueError(
+        f"decode_cache_carry='stacked' supports attention_impl 'xla' / "
+        f"'xla_int8dot', not {attention_impl!r}")
+  query = dense(params['query'], x, dtype).reshape(
+      b, kv_heads, group, head_dim)
+  key = dense(params['key'], x, dtype).reshape(b, kv_heads, head_dim)
+  value = dense(params['value'], x, dtype).reshape(b, kv_heads, head_dim)
+
+  zero = jnp.zeros((), jnp.int32)
+  lidx = jnp.asarray(layer, jnp.int32)
+  quantized = cache.quantized
+  if quantized:
+    key_col, key_scale = _quantize_kv(key, cache.key.dtype)
+    value_col, value_scale = _quantize_kv(value, cache.value.dtype)
+    new_ks = jax.lax.dynamic_update_slice(
+        cache.key_scale, key_scale[None, ..., None],
+        (lidx, zero, zero, cache_index))
+    new_vs = jax.lax.dynamic_update_slice(
+        cache.value_scale, value_scale[None, ..., None],
+        (lidx, zero, zero, cache_index))
+  else:
+    key_col = key.astype(cache.key.dtype)
+    value_col = value.astype(cache.value.dtype)
+    new_ks, new_vs = None, None
+  new_k = jax.lax.dynamic_update_slice(
+      cache.key, key_col[None, ..., None].astype(cache.key.dtype),
+      (lidx, zero, zero, zero, cache_index))
+  new_v = jax.lax.dynamic_update_slice(
+      cache.value, value_col[None, ..., None].astype(cache.value.dtype),
+      (lidx, zero, zero, zero, cache_index))
+  new_cache = KVCache(key=new_k, value=new_v, key_scale=new_ks,
+                      value_scale=new_vs)
+
+  out = _cached_attention_math(
+      query, new_k[layer], new_v[layer],
+      new_ks[layer] if quantized else None,
+      new_vs[layer] if quantized else None,
+      cache_index, max_len, b, num_heads, head_dim, group, dtype,
+      attention_impl)
+  return dense(params['out'], out, dtype), new_cache
+
+
+def _cached_attention_math(query, cache_k, cache_v, k_scale, v_scale,
+                           cache_index, max_len, b, num_heads, head_dim,
+                           group, dtype, attention_impl):
+  """Shared decode attention over one layer's cache slice.
+
+  query: [b, kv, g, d]; cache_k/v: [b, kv, d, len]; scales [b, kv, len]
+  or None.  Returns [b, num_heads * head_dim].
+  """
+  if k_scale is not None and group == 1:
+    if attention_impl == 'xla_int8dot':
+      q3 = query.reshape(b, num_heads, head_dim)
+      q_q, q_scale = _quantize_kv(q3.astype(jnp.float32))
+      logits = jnp.einsum('bhd,bhdl->bhl', q_q, cache_k,
+                          preferred_element_type=jnp.int32)
+      logits = logits.astype(jnp.float32) * (q_scale[..., None] * k_scale)
+      visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+      logits = jnp.where(visible, logits, -1e10)
+      weights = jax.nn.softmax(logits, axis=-1)
+      wv = weights * v_scale
+      wv_q, wv_scale = _quantize_kv(wv)
+      out = jnp.einsum('bhl,bhdl->bhd', wv_q, cache_v,
+                       preferred_element_type=jnp.int32)
+      out = (out.astype(jnp.float32) * wv_scale[..., None]).astype(dtype)
+    else:
+      q3 = query.reshape(b, num_heads, head_dim)
+      logits = jnp.einsum('bhd,bhdl->bhl', q3, cache_k.astype(dtype),
+                          precision=matmul_precision(dtype))
+      logits = logits.astype(jnp.float32) * k_scale
+      visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+      logits = jnp.where(visible, logits, -1e10)
+      weights = jax.nn.softmax(logits, axis=-1)
+      weights = (weights * v_scale).astype(dtype)
+      out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v.astype(dtype),
+                       precision=matmul_precision(dtype))
+  elif k_scale is not None:
+    logits = jnp.einsum('bkgd,bkdl->bkgl', query, cache_k.astype(dtype),
+                        precision=matmul_precision(dtype))
+    logits = logits.astype(jnp.float32) * k_scale[:, :, None, :]
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
+    logits = jnp.where(visible, logits, -1e10)
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = (weights * v_scale[:, :, None, :]).astype(dtype)
+    out = jnp.einsum('bkgl,bkdl->bkgd', weights, cache_v.astype(dtype),
+                     precision=matmul_precision(dtype))
+  elif group == 1:
+    q3 = query.reshape(b, num_heads, head_dim)
+    logits = jnp.einsum(
+        'bhd,bhdl->bhl', q3, cache_k.astype(dtype),
+        precision=matmul_precision(dtype)).astype(jnp.float32)
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
+    logits = jnp.where(visible, logits, -1e10)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v.astype(dtype),
+                     precision=matmul_precision(dtype))
+  else:
+    logits = jnp.einsum(
+        'bkgd,bkdl->bkgl', query, cache_k.astype(dtype),
+        precision=matmul_precision(dtype)).astype(jnp.float32)
+    visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
+    logits = jnp.where(visible, logits, -1e10)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum('bkgl,bkdl->bkgd', weights, cache_v.astype(dtype),
+                     precision=matmul_precision(dtype))
+  return out.reshape(b, num_heads * head_dim)
+
+
 def quantize_kv_sequence(x: Array) -> Tuple[Array, Array]:
   """Symmetric per-(..., position) int8 quantization of [..., d, len]."""
   scale = jnp.max(jnp.abs(x), axis=-2) / 127.0          # [..., len]

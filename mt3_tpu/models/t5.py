@@ -427,6 +427,8 @@ def init_decode_state(params: PyTree, config: ModelConfig,
 def decode_step(params: PyTree, config: ModelConfig, token: Array,
                 state: DecodeState) -> Tuple[Array, DecodeState]:
   """One decode step: token [b] int32 -> (logits [b, vocab], new state)."""
+  if getattr(config, 'decode_cache_carry', 'scan') == 'stacked':
+    return _decode_step_stacked(params, config, token, state)
   dtype = _dtype(config)
   b = token.shape[0]
 
@@ -487,6 +489,64 @@ def decode_step(params: PyTree, config: ModelConfig, token: Array,
       cache=KVCache(key=new_k, value=new_v, key_scale=new_ks,
                     value_scale=new_vs),
       cross_k=state.cross_k, cross_v=state.cross_v,
+      index=state.index + 1,
+      cross_k_scale=state.cross_k_scale,
+      cross_v_scale=state.cross_v_scale)
+  return logits, new_state
+
+
+def _decode_step_stacked(params: PyTree, config: ModelConfig, token: Array,
+                         state: DecodeState) -> Tuple[Array, DecodeState]:
+  """decode_step with in-place stacked-cache column writes.
+
+  A static Python loop over layers; each layer's new K/V column lands in
+  the full [L,b,h,d,len] cache via one small dynamic_update_slice, so
+  the while-loop carry is updated in place rather than rebuilt from
+  lax.scan ys (which costs a cache-sized copy per token — see
+  ModelConfig.decode_cache_carry and the PERF.md round-3 ledger).
+  """
+  dtype = _dtype(config)
+  if config.decode_cache_update != 'dus':
+    raise ValueError("decode_cache_carry='stacked' requires "
+                     "decode_cache_update='dus'")
+
+  y = layers.embed(params['decoder']['token_embed'], token, dtype=dtype)
+  pos = jnp.asarray(layers.sinusoidal_table(config.max_positions,
+                                            config.emb_dim))
+  y = y + jax.lax.dynamic_slice_in_dim(pos, state.index, 1, axis=0)[0]
+  y = y.astype(dtype)
+
+  cache = state.cache
+  stacked = params['decoder']['layers']
+  for l in range(config.num_decoder_layers):
+    lp = jax.tree_util.tree_map(lambda p: p[l], stacked)
+    h = layers.rms_norm(lp['pre_self_attention_norm'], y, dtype=dtype)
+    h, cache = layers.self_attention_decode_stacked(
+        lp['self_attention'], h, cache, l, state.index,
+        config.num_heads, config.head_dim, dtype=dtype,
+        attention_impl=config.decode_attention_impl,
+        num_kv_heads=config.num_kv_heads)
+    y = y + h
+    h = layers.rms_norm(lp['pre_cross_attention_norm'], y, dtype=dtype)
+    h = layers.cross_attention_decode_step(
+        lp['cross_attention'], h, state.cross_k[l], state.cross_v[l],
+        config.num_heads, config.head_dim, dtype=dtype,
+        num_kv_heads=config.num_kv_heads,
+        key_scale=(None if state.cross_k_scale is None
+                   else state.cross_k_scale[l]),
+        value_scale=(None if state.cross_v_scale is None
+                     else state.cross_v_scale[l]))
+    y = y + h
+    h = layers.rms_norm(lp['pre_mlp_norm'], y, dtype=dtype)
+    h = layers.gated_mlp(lp['mlp'], h, config.mlp_activations,
+                         dtype=dtype)
+    y = y + h
+
+  y = layers.rms_norm(params['decoder']['norm'], y, dtype=dtype)
+  logits = layers.dense(params['decoder']['logits'], y, jnp.float32)
+
+  new_state = DecodeState(
+      cache=cache, cross_k=state.cross_k, cross_v=state.cross_v,
       index=state.index + 1,
       cross_k_scale=state.cross_k_scale,
       cross_v_scale=state.cross_v_scale)

@@ -72,9 +72,21 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, target: PyTree) -> PyTree:
-  """Restore a checkpoint into the structure/shardings of `target`."""
+  """Restore a checkpoint into the structure/shardings of `target`.
+
+  `target` may be a sub-structure of what was saved (e.g. params only,
+  for the finetune warm start) — missing entries are simply skipped.
+  """
   checkpointer = ocp.StandardCheckpointer()
-  return checkpointer.restore(path, target)
+  try:
+    return checkpointer.restore(path, target)
+  except ValueError:
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+      return ckptr.restore(
+          path, args=ocp.args.PyTreeRestore(
+              item=target, restore_args=restore_args,
+              partial_restore=True))
 
 
 # ---------------------------------------------------------------------------

@@ -220,6 +220,31 @@ class Trainer:
     if self._async_saver is not None:
       self._async_saver.wait()
 
+  def load_params(self, params) -> None:
+    """Warm-start from a parameter pytree: fresh optimizer, step kept.
+
+    The finetune path (reference gin/ismir2022/finetune.gin:21-24
+    restores params only, mode='specific'); also the landing point for
+    GQA-converted checkpoints (checkpoint.convert_mha_to_gqa).
+    """
+    jax.tree_util.tree_map(
+        lambda new, old: (_ for _ in ()).throw(ValueError(
+            f'shape mismatch {np.shape(new)} vs {old.shape}'))
+        if np.shape(new) != old.shape else None,
+        params, self.state.params)
+    if self.mesh is not None:
+      is_axes = lambda x: isinstance(x, tuple) and all(
+          isinstance(e, str) for e in x)
+      shardings = jax.tree_util.tree_map(
+          lambda a: jax.sharding.NamedSharding(
+              self.mesh, partitioning.logical_to_spec(a)),
+          self.state_axes.params, is_leaf=is_axes)
+      params = jax.device_put(params, shardings)
+    else:
+      params = jax.tree_util.tree_map(jnp.asarray, params)
+    self.state = TrainState(step=self.state.step, params=params,
+                            opt_state=self.state.opt_state)
+
   def restore(self, directory_or_path: str) -> int:
     """Restore the full train state; returns the restored step.
 

@@ -283,6 +283,70 @@ def test_int8dot_attention_close_to_fp32(config, params):
   assert err < 0.08 * scale, (err, scale)
 
 
+@pytest.mark.parametrize('variant', [
+    {},                                                      # bf16-clean
+    {'decode_kv_quantize': True},                            # int8
+    {'decode_kv_quantize': True, 'decode_kv_bits': 4,
+     'decode_cross_kv_quantize': True},                      # int4+cross
+    {'decode_kv_quantize': True,
+     'decode_attention_impl': 'xla_int8dot'},                # int8 MXU
+])
+def test_stacked_cache_carry_matches_scan(config, params, variant):
+  """decode_cache_carry='stacked' (in-place stacked-cache dus writes)
+  produces the same logits as the scan-ys carry for every decode
+  configuration."""
+  b, enc_len, dec_len = 2, 6, 7
+  enc_in = jax.random.normal(jax.random.PRNGKey(21),
+                             (b, enc_len, config.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(22), (b, dec_len), 3, 100)
+
+  def run(cfg):
+    encoded = t5.encode(params, cfg, enc_in)
+    state = t5.init_decode_state(params, cfg, encoded, dec_len)
+    outs = []
+    token = jnp.zeros((b,), jnp.int32)
+    for i in range(dec_len):
+      logits, state = t5.decode_step(params, cfg, token, state)
+      outs.append(logits)
+      token = tokens[:, i]
+    return np.asarray(jnp.stack(outs, axis=1))
+
+  scan_cfg = ModelConfig(**{**config.__dict__, **variant,
+                            'decode_cache_carry': 'scan'})
+  stacked_cfg = ModelConfig(**{**config.__dict__, **variant,
+                               'decode_cache_carry': 'stacked'})
+  np.testing.assert_allclose(run(stacked_cfg), run(scan_cfg),
+                             atol=1e-5, rtol=1e-5)
+
+
+def test_stacked_cache_carry_gqa(config):
+  """Stacked carry with grouped-query attention == scan carry."""
+  gqa = ModelConfig(**{**config.__dict__, 'num_kv_heads': 2,
+                       'decode_kv_quantize': True})
+  params, _ = t5.init_params(jax.random.PRNGKey(2), gqa)
+  b, enc_len, dec_len = 2, 5, 6
+  enc_in = jax.random.normal(jax.random.PRNGKey(23),
+                             (b, enc_len, gqa.input_depth))
+  tokens = jax.random.randint(jax.random.PRNGKey(24), (b, dec_len), 3, 100)
+
+  def run(cfg):
+    encoded = t5.encode(params, cfg, enc_in)
+    state = t5.init_decode_state(params, cfg, encoded, dec_len)
+    outs = []
+    token = jnp.zeros((b,), jnp.int32)
+    for i in range(dec_len):
+      logits, state = t5.decode_step(params, cfg, token, state)
+      outs.append(logits)
+      token = tokens[:, i]
+    return np.asarray(jnp.stack(outs, axis=1))
+
+  scan_cfg = ModelConfig(**{**gqa.__dict__, 'decode_cache_carry': 'scan'})
+  stacked_cfg = ModelConfig(**{**gqa.__dict__,
+                               'decode_cache_carry': 'stacked'})
+  np.testing.assert_allclose(run(stacked_cfg), run(scan_cfg),
+                             atol=1e-5, rtol=1e-5)
+
+
 def test_mha_to_gqa_conversion_exact_when_heads_identical(config, params):
   """convert_mha_to_gqa == original model when grouped K/V heads are
   identical (mean-pooling is exact there); cached decode agrees too.
