@@ -68,6 +68,10 @@ def main():
   parser.add_argument('--profile', default=None,
                       help='capture a jax profiler trace to this directory '
                            'around one timed iteration')
+  parser.add_argument('--cache_carry', default=None,
+                      choices=['scan', 'stacked'],
+                      help='decode_cache_carry override (stacked = '
+                           'in-place column writes to the stacked cache)')
   args = parser.parse_args()
 
   variant = VARIANTS[args.variant]
@@ -86,7 +90,9 @@ def main():
       'decode_kv_quantize': kv_quantize,
       'decode_cross_kv_quantize': cross_quantize,
       'num_kv_heads': num_kv_heads,
-      'decode_kv_bits': kv_bits})
+      'decode_kv_bits': kv_bits,
+      **({'decode_cache_carry': args.cache_carry}
+         if args.cache_carry else {})})
   spec_config = config.spectrogram
   run = config.run
   params, _ = t5.init_params(jax.random.PRNGKey(0), model_config)
