@@ -57,6 +57,8 @@ class AsyncCheckpointSaver:
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
+  # orbax requires absolute checkpoint paths.
+  directory = os.path.abspath(directory)
   if not os.path.isdir(directory):
     return None
   steps = []
