@@ -201,9 +201,11 @@ def main(argv=None):
   # every eval_period steps over the eval tasks, logging the full metric
   # family to TensorBoard + JSON).
   if args.eval_data:
+    # Offset the default seed so 'polysynth[:N]' eval specs (without an
+    # explicit seed) never collide with the training clips.
     eval_source = datasets.resolve_data_source(
         args.eval_data, config.spectrogram, dataset=args.dataset,
-        num_examples=args.eval_examples)
+        num_examples=args.eval_examples, seed=args.seed + 1_000_000)
   elif args.data == 'synthetic':
     eval_source = datasets.SyntheticDataSource(
         num_examples=args.eval_examples, duration=4.0,
@@ -234,7 +236,7 @@ def main(argv=None):
     scores = evaluator.evaluate_dataset(eval_examples, transcriber)
     print(f'eval@{step}: onset F1 = {scores.get("Onset F1", 0):.4f} '
           f'onset+offset F1 = '
-          f'{scores.get("Onset & offset F1", 0):.4f}', file=sys.stderr)
+          f'{scores.get("Onset + offset F1", 0):.4f}', file=sys.stderr)
     if tb_writer is not None:
       tb_writer.add_scalars(
           {f'eval/{k}': float(v) for k, v in scores.items()}, step)

@@ -71,7 +71,6 @@ def main(argv=None):
   # apply the GQA conversion afterwards.
   load_model_config = config_lib.ModelConfig(
       **{**config.model.__dict__, 'num_kv_heads': None})
-  params, _ = t5.init_params(jax.random.PRNGKey(0), load_model_config)
   if args.t5x_checkpoint:
     from mt3_tpu.train import t5x_loader
     print(f'converting t5x checkpoint {args.t5x_checkpoint}',
@@ -81,13 +80,15 @@ def main(argv=None):
         num_encoder_layers=config.model.num_encoder_layers,
         num_decoder_layers=config.model.num_decoder_layers)
   elif args.checkpoint:
+    template, _ = t5.init_params(jax.random.PRNGKey(0), load_model_config)
     path = ckpt_lib.latest_checkpoint(args.checkpoint) or args.checkpoint
     print(f'restoring checkpoint from {path}', file=sys.stderr)
-    state = ckpt_lib.restore_checkpoint(path, {'params': params})
+    state = ckpt_lib.restore_checkpoint(path, {'params': template})
     params = state['params']
   else:
     print('WARNING: no checkpoint given; using random weights',
           file=sys.stderr)
+    params, _ = t5.init_params(jax.random.PRNGKey(0), load_model_config)
 
   if args.gqa_kv_heads:
     print(f'converting to GQA: {config.model.num_heads} -> '

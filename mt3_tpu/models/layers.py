@@ -388,55 +388,11 @@ def attention_decode_step(
     cache_v_scale = jax.lax.dynamic_update_slice(
         cache_v_scale, value_scale[..., None], (zero, zero, cache_index))
 
-    if group == 1 and attention_impl == 'xla_int8dot':
-      # Integer MXU path: quantize q (and the softmax-weight x value-scale
-      # product) per (b,h) so both einsums run s8 x s8 -> s32 without
-      # upconverting the cache to bf16 first.  Adds ~0.4% quantization
-      # error on q and on the attention weights (numerics-gated in
-      # tests/test_model.py).
-      q3 = query.reshape(b, num_heads, head_dim)
-      q_q, q_scale = _quantize_kv(q3.astype(jnp.float32))
-      logits = jnp.einsum('bhd,bhdl->bhl', q_q, cache_k,
-                          preferred_element_type=jnp.int32)
-      logits = (logits.astype(jnp.float32)
-                * (q_scale[..., None] * cache_k_scale))
-      visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
-      logits = jnp.where(visible, logits, -1e10)
-      weights = jax.nn.softmax(logits, axis=-1)
-      wv = weights * cache_v_scale          # fold per-position v scales
-      wv_q, wv_scale = _quantize_kv(wv)
-      out = jnp.einsum('bhl,bhdl->bhd', wv_q, cache_v,
-                       preferred_element_type=jnp.int32)
-      out = (out.astype(jnp.float32) * wv_scale[..., None]).astype(dtype)
-    elif group == 1:
-      # Keep the MHA einsum form (also keeps the compiled-program cache
-      # warm for the production configuration).
-      q3 = query.reshape(b, num_heads, head_dim)
-      logits = jnp.einsum('bhd,bhdl->bhl', q3, cache_k.astype(dtype),
-                          precision=matmul_precision(dtype))
-      logits = logits.astype(jnp.float32) * cache_k_scale
-      visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
-      logits = jnp.where(visible, logits, -1e10)
-      weights = jax.nn.softmax(logits, axis=-1)
-      weights = (weights * cache_v_scale).astype(dtype)
-      out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v.astype(dtype),
-                       precision=matmul_precision(dtype))
-    else:
-      # logits[b,k,g,l] = (q . k_int8[...,l]) * k_scale[b,k,l]
-      logits = jnp.einsum('bkgd,bkdl->bkgl', query,
-                          cache_k.astype(dtype),
-                          precision=matmul_precision(dtype))
-      logits = logits.astype(jnp.float32) * cache_k_scale[:, :, None, :]
-      visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
-      logits = jnp.where(visible, logits, -1e10)
-      weights = jax.nn.softmax(logits, axis=-1)
-      # Fold the value scale into the weights before the second einsum.
-      weights = (weights * cache_v_scale[:, :, None, :]).astype(dtype)
-      out = jnp.einsum('bkgl,bkdl->bkgd', weights,
-                       cache_v.astype(dtype),
-                       precision=matmul_precision(dtype))
-    out = dense(params['out'], out.reshape(b, num_heads * head_dim),
-                dtype)
+    out = _cached_attention_math(
+        query, cache_k, cache_v, cache_k_scale, cache_v_scale,
+        cache_index, max_len, b, num_heads, head_dim, group, dtype,
+        attention_impl)
+    out = dense(params['out'], out, dtype)
     return out, cache_k, cache_v, cache_k_scale, cache_v_scale
 
   if attention_impl == 'pallas_v3':
@@ -466,27 +422,10 @@ def attention_decode_step(
     cache_v = jax.lax.dynamic_update_slice(
         cache_v, value[..., None], (zero, zero, zero, cache_index))
 
-  if group == 1:
-    q3 = query.reshape(b, num_heads, head_dim)
-    logits = jnp.einsum(
-        'bhd,bhdl->bhl', q3, cache_k,
-        precision=matmul_precision(dtype)).astype(jnp.float32)
-    visible = (jnp.arange(max_len) <= cache_index)[None, None, :]
-    logits = jnp.where(visible, logits, -1e10)
-    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum('bhl,bhdl->bhd', weights, cache_v,
-                     precision=matmul_precision(dtype))
-  else:
-    # [b, kv, g, len] grouped-query form.
-    logits = jnp.einsum(
-        'bkgd,bkdl->bkgl', query, cache_k,
-        precision=matmul_precision(dtype)).astype(jnp.float32)
-    visible = (jnp.arange(max_len) <= cache_index)[None, None, None, :]
-    logits = jnp.where(visible, logits, -1e10)
-    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum('bkgl,bkdl->bkgd', weights, cache_v,
-                     precision=matmul_precision(dtype))
-  out = dense(params['out'], out.reshape(b, num_heads * head_dim), dtype)
+  out = _cached_attention_math(
+      query, cache_k, cache_v, None, None, cache_index, max_len, b,
+      num_heads, head_dim, group, dtype, attention_impl)
+  out = dense(params['out'], out, dtype)
   return out, cache_k, cache_v
 
 
@@ -513,6 +452,9 @@ def self_attention_decode_stacked(
     raise ValueError(
         f"decode_cache_carry='stacked' supports attention_impl 'xla' / "
         f"'xla_int8dot', not {attention_impl!r}")
+  if attention_impl == 'xla_int8dot' and not cache.quantized:
+    raise ValueError(
+        "decode_attention_impl='xla_int8dot' requires decode_kv_quantize")
   query = dense(params['query'], x, dtype).reshape(
       b, kv_heads, group, head_dim)
   key = dense(params['key'], x, dtype).reshape(b, kv_heads, head_dim)

@@ -79,6 +79,7 @@ def restore_checkpoint(path: str, target: PyTree) -> PyTree:
   `target` may be a sub-structure of what was saved (e.g. params only,
   for the finetune warm start) — missing entries are simply skipped.
   """
+  path = os.path.abspath(path)  # orbax requires absolute paths
   checkpointer = ocp.StandardCheckpointer()
   try:
     return checkpointer.restore(path, target)

@@ -239,7 +239,15 @@ class Trainer:
           lambda a: jax.sharding.NamedSharding(
               self.mesh, partitioning.logical_to_spec(a)),
           self.state_axes.params, is_leaf=is_axes)
-      params = jax.device_put(params, shardings)
+      if jax.process_count() > 1:
+        # device_put cannot target non-addressable devices; build each
+        # global array from the (fully host-replicated) values instead.
+        params = jax.tree_util.tree_map(
+            lambda x, s: jax.make_array_from_callback(
+                np.shape(x), s, lambda idx, a=np.asarray(x): a[idx]),
+            params, shardings)
+      else:
+        params = jax.device_put(params, shardings)
     else:
       params = jax.tree_util.tree_map(jnp.asarray, params)
     self.state = TrainState(step=self.state.step, params=params,

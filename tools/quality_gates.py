@@ -10,6 +10,7 @@ held-out test split:
   int4_cross  int4 self-attn cache + int8 cross K/V (bench.py production)
   int8dot     s8 x s8 -> s32 MXU attention einsums
   stacked     int4_cross with decode_cache_carry='stacked'
+  beam4       beam search, num_beams=4 (the reference default decode fn)
   gqa1        mean-pooled 1-KV-head conversion (no finetune)
 
 Prints one table of onset F1 / onset+offset F1 per configuration and the
@@ -70,7 +71,8 @@ def main():
   parser.add_argument('--model', default='mt3')
   parser.add_argument('--data', default='corpus/test')
   parser.add_argument('--num', type=int, default=32)
-  parser.add_argument('--variants', default=','.join(VARIANTS))
+  parser.add_argument('--variants',
+                      default=','.join(VARIANTS) + ',beam4')
   parser.add_argument('--gqa', action='store_true',
                       help='also gate the mean-pooled 1-KV-head '
                            'conversion (no finetune)')
@@ -92,13 +94,14 @@ def main():
                            dataclasses.replace(base.model,
                                                num_kv_heads=None))
 
-  def run(name, overrides, params=None):
+  def run(name, overrides, params=None, num_beams=1):
     model_config = config_lib.ModelConfig(
         **{**base.model.__dict__, 'dtype': 'bfloat16', **overrides})
     config = config_lib.MT3Config(base.name, base.spectrogram, base.vocab,
                                   model_config, base.run)
     transcriber = transcribe_lib.Transcriber(
-        config, params if params is not None else mha_params)
+        config, params if params is not None else mha_params,
+        num_beams=num_beams)
     scores = evaluator.evaluate_dataset(examples, transcriber)
     return {'variant': name,
             'onset_f1': scores['Onset F1'],
@@ -109,7 +112,12 @@ def main():
 
   rows = []
   for name in args.variants.split(','):
-    rows.append(run(name, VARIANTS[name]))
+    if name == 'beam4':
+      # Beam search (the reference model's default decode fn,
+      # /root/reference/mt3/models.py:127) on the unquantized cache.
+      rows.append(run(name, {}, num_beams=4))
+    else:
+      rows.append(run(name, VARIANTS[name]))
     print(json.dumps(rows[-1]), flush=True)
 
   if args.gqa:
