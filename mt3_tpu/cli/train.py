@@ -20,6 +20,14 @@ import numpy as np
 from mt3_tpu.core.config import CONFIG_FACTORIES
 
 
+def _rss_gb() -> float:
+  with open('/proc/self/status') as f:
+    for line in f:
+      if line.startswith('VmRSS'):
+        return int(line.split()[1]) / 1024 / 1024
+  return 0.0
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description='Train a transcription model')
   parser.add_argument('--model', default='tiny',
@@ -78,6 +86,12 @@ def main(argv=None):
   parser.add_argument('--compile_cache', default='/root/repo/.jax_cache',
                       help='persistent XLA compile cache dir '
                            '(empty string disables)')
+  parser.add_argument('--exit_rss_gb', type=float, default=0,
+                      help='if >0: when host RSS exceeds this many GB, '
+                           'checkpoint and exit with code 75 so a '
+                           'wrapper can relaunch with --resume (works '
+                           'around the axon relay leaking every '
+                           'host->device transfer buffer)')
   args = parser.parse_args(argv)
 
   import jax
@@ -184,16 +198,35 @@ def main(argv=None):
   # The spectrogram runs inside the jitted step: convert raw audio frames
   # to encoder inputs on device.  This runs on the prefetch thread so
   # host->device transfer overlaps the previous step.
-  def to_model_batch(batch):
+  #
+  # Transfers use compact dtypes (int16 audio at 96 dB SNR, int16 tokens
+  # — vocab 1536 << 32767 — and uint8 loss weights): the tunneled axon
+  # relay leaks every host->device transfer buffer (~RSS += bytes sent;
+  # see PERF.md "relay transfer leak"), so halving bytes/step doubles
+  # how long a training process lives before --exit_rss_gb recycles it.
+  @jax.jit
+  def _expand_batch(frames_i16, targets_i16, inputs_i16, weights_u8):
+    frames = frames_i16.astype(jnp.float32) / 32767.0
     return {
         'encoder_input_tokens': spec_lib.frames_to_logmel(
-            jnp.asarray(batch['encoder_input_frames']), spec_config),
-        'decoder_target_tokens': jnp.asarray(
-            batch['decoder_target_tokens']),
-        'decoder_input_tokens': jnp.asarray(batch['decoder_input_tokens']),
-        'decoder_loss_weights': jnp.asarray(
-            batch['decoder_loss_weights']),
+            frames, spec_config),
+        'decoder_target_tokens': targets_i16.astype(jnp.int32),
+        'decoder_input_tokens': inputs_i16.astype(jnp.int32),
+        'decoder_loss_weights': weights_u8.astype(jnp.float32),
     }
+
+  def to_model_batch(batch):
+    frames = np.asarray(batch['encoder_input_frames'])
+    frames_i16 = np.clip(np.round(frames * 32767.0), -32768,
+                         32767).astype(np.int16)
+    return _expand_batch(
+        jnp.asarray(frames_i16),
+        jnp.asarray(np.asarray(
+            batch['decoder_target_tokens']).astype(np.int16)),
+        jnp.asarray(np.asarray(
+            batch['decoder_input_tokens']).astype(np.int16)),
+        jnp.asarray(np.asarray(
+            batch['decoder_loss_weights']).astype(np.uint8)))
 
   batches = pipeline.prefetch(raw_batches, transform=to_model_batch)
 
@@ -267,6 +300,16 @@ def main(argv=None):
       last_saved_step = step + 1
     if args.eval_period and (step + 1) % args.eval_period == 0:
       run_eval(step + 1)
+    if (args.exit_rss_gb and step % args.log_every == 0
+        and _rss_gb() > args.exit_rss_gb):
+      print(f'RSS {_rss_gb():.1f} GB > --exit_rss_gb '
+            f'{args.exit_rss_gb}; checkpointing and exiting 75 for '
+            f'relaunch', file=sys.stderr)
+      if args.checkpoint_dir:
+        tr.finalize_saves()
+        print(f'saved restart checkpoint: {tr.save(args.checkpoint_dir)}',
+              file=sys.stderr)
+      sys.exit(75)
 
   tr.finalize_saves()
   if args.checkpoint_dir and last_saved_step != steps:
