@@ -114,3 +114,21 @@ def test_split_and_flatten_round_trip(config):
   flat = np.asarray(spectrogram.flatten_frames(frames))
   np.testing.assert_array_equal(flat[:1000], x)
   np.testing.assert_array_equal(flat[1000:], np.zeros(24))
+
+
+def test_int16_transfer_logmel_equivalence(config):
+  """The train CLI's compact int16 batch transfer (cli/train.py
+  to_model_batch, working around the relay transfer leak) must not move
+  the log-mel features: int16 audio quantization is -96 dB, far below
+  the safe_log floor of the spectrogram (eps 1e-5)."""
+  rng = np.random.RandomState(0)
+  frames = (0.9 * rng.randn(4, 64, config.hop_width)).clip(-1, 1)
+  frames = frames.astype(np.float32)
+  frames_i16 = np.clip(np.round(frames * 32767.0), -32768,
+                       32767).astype(np.int16)
+  dequant = frames_i16.astype(np.float32) / 32767.0
+
+  ref = spectrogram.frames_to_logmel(frames, config)
+  got = spectrogram.frames_to_logmel(dequant, config)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                             atol=5e-3, rtol=1e-3)
