@@ -57,7 +57,11 @@ def main():
       **{**config.model.__dict__, 'dtype': 'bfloat16',
          'decode_kv_quantize': True,
          'decode_kv_bits': 4,
-         'decode_cross_kv_quantize': True})
+         'decode_cross_kv_quantize': True,
+         # In-place stacked-cache column writes instead of scan-ys
+         # rebuilds: +9.7% at this batch (PERF.md round 3), onset-F1
+         # gated on the trained flagship model (TRAINING.md).
+         'decode_cache_carry': 'stacked'})
   spec_config = config.spectrogram
   run = config.run
 
