@@ -177,9 +177,11 @@ def main(argv=None):
     if args.gqa_kv_heads:
       print(f'converting to GQA: {config.model.num_heads} -> '
             f'{args.gqa_kv_heads} KV heads', file=sys.stderr)
+      # Recovery finetune follows immediately, so the unfinetuned
+      # warm start is legitimate here.
       params = ckpt_lib.convert_mha_to_gqa(
           params, config.model.num_heads, config.model.head_dim,
-          args.gqa_kv_heads)
+          args.gqa_kv_heads, allow_unfinetuned=True)
     tr.load_params(params)
     print(f'warm-started params from {path}', file=sys.stderr)
   if args.resume and args.checkpoint_dir:
@@ -215,8 +217,18 @@ def main(argv=None):
         'decoder_loss_weights': weights_u8.astype(jnp.float32),
     }
 
+  _clip_warned = []
+
   def to_model_batch(batch):
     frames = np.asarray(batch['encoder_input_frames'])
+    peak = float(np.max(np.abs(frames))) if frames.size else 0.0
+    if peak > 1.0 and not _clip_warned:
+      # int16 compact transfer assumes full-scale audio (synth corpus
+      # peaks <=0.96); louder sources would be silently distorted.
+      _clip_warned.append(True)
+      print(f'WARNING: audio batch peak {peak:.3f} > 1.0 will be '
+            'clipped by the int16 compact-transfer quantization; '
+            'normalize the data source', file=sys.stderr)
     frames_i16 = np.clip(np.round(frames * 32767.0), -32768,
                          32767).astype(np.int16)
     return _expand_batch(

@@ -42,11 +42,17 @@ def main(argv=None):
                       help='int8-quantize the decode KV caches (the '
                            'bench.py production configuration)')
   parser.add_argument('--gqa_kv_heads', type=int, default=0,
-                      help='convert the loaded MHA checkpoint to '
-                           'grouped-query attention with N KV heads '
-                           '(mean-pooled; see PERF.md GQA ledger — '
-                           'expect some quality loss without a '
-                           'finetune/distill pass)')
+                      help='run grouped-query attention with N KV '
+                           'heads.  The checkpoint must already be '
+                           'GQA-shaped (produced by the recovery '
+                           'finetune, cli/train --gqa_kv_heads); to '
+                           'convert an MHA checkpoint on the fly add '
+                           '--convert_gqa_unfinetuned')
+  parser.add_argument('--convert_gqa_unfinetuned', action='store_true',
+                      help='mean-pool an MHA checkpoint to GQA at load '
+                           'time WITHOUT the required recovery '
+                           'finetune.  Quality collapses (onset F1 '
+                           '~0.01, TRAINING.md) — debugging only')
   args = parser.parse_args(argv)
 
   from mt3_tpu.core import config as config_lib
@@ -67,10 +73,13 @@ def main(argv=None):
       config.name, config.spectrogram, config.vocab, model_config,
       config.run)
 
-  # Checkpoints on disk are MHA-shaped; init/restore with MHA dims and
-  # apply the GQA conversion afterwards.
-  load_model_config = config_lib.ModelConfig(
+  # Finetuned GQA checkpoints are GQA-shaped and restore directly; with
+  # --convert_gqa_unfinetuned the checkpoint is MHA-shaped and gets
+  # mean-pooled after load (debugging only — see the flag help).
+  convert_gqa = args.gqa_kv_heads and args.convert_gqa_unfinetuned
+  load_model_config = (config_lib.ModelConfig(
       **{**config.model.__dict__, 'num_kv_heads': None})
+      if (convert_gqa or not args.gqa_kv_heads) else config.model)
   if args.t5x_checkpoint:
     from mt3_tpu.train import t5x_loader
     print(f'converting t5x checkpoint {args.t5x_checkpoint}',
@@ -90,12 +99,13 @@ def main(argv=None):
           file=sys.stderr)
     params, _ = t5.init_params(jax.random.PRNGKey(0), load_model_config)
 
-  if args.gqa_kv_heads:
+  if convert_gqa:
     print(f'converting to GQA: {config.model.num_heads} -> '
-          f'{args.gqa_kv_heads} KV heads (mean-pooled)', file=sys.stderr)
+          f'{args.gqa_kv_heads} KV heads (mean-pooled, UNFINETUNED — '
+          'expect collapsed quality)', file=sys.stderr)
     params = ckpt_lib.convert_mha_to_gqa(
         params, config.model.num_heads, config.model.head_dim,
-        args.gqa_kv_heads)
+        args.gqa_kv_heads, allow_unfinetuned=True)
 
   transcriber = transcribe_lib.Transcriber(config, params,
                                            temperature=args.temperature,

@@ -9,6 +9,7 @@ across segment boundaries.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import MutableMapping, MutableSet, Optional, Sequence, Tuple
 
@@ -33,29 +34,37 @@ class TrackSpec:
 
 def extract_track(ns: NoteSequence, program: int,
                   is_drum: bool) -> NoteSequence:
-  track = NoteSequence(ticks_per_quarter=220)
-  track.notes = [note for note in ns.notes
-                 if note.program == program and note.is_drum == is_drum]
-  track.total_time = (max(note.end_time for note in track.notes)
-                      if track.notes else 0.0)
-  return track
+  """Single-(program, is_drum) view of a NoteSequence.
+
+  Parity: /root/reference/mt3/note_sequences.py:42-49.
+  """
+  # Copies, matching the reference's proto-extend copy semantics.
+  selected = [dataclasses.replace(n) for n in ns.notes
+              if (n.program, n.is_drum) == (program, is_drum)]
+  return NoteSequence(
+      ticks_per_quarter=220,
+      notes=selected,
+      total_time=max((n.end_time for n in selected), default=0.0))
 
 
 def trim_overlapping_notes(ns: NoteSequence) -> NoteSequence:
-  """Trim overlapping notes (same pitch/program/drum), drop zero-length."""
-  ns_trimmed = ns.copy()
-  channels = set((note.pitch, note.program, note.is_drum)
-                 for note in ns_trimmed.notes)
-  for pitch, program, is_drum in channels:
-    notes = [note for note in ns_trimmed.notes if note.pitch == pitch
-             and note.program == program and note.is_drum == is_drum]
-    sorted_notes = sorted(notes, key=lambda note: note.start_time)
-    for i in range(1, len(sorted_notes)):
-      if sorted_notes[i - 1].end_time > sorted_notes[i].start_time:
-        sorted_notes[i - 1].end_time = sorted_notes[i].start_time
-  ns_trimmed.notes = [note for note in ns_trimmed.notes
-                      if note.start_time < note.end_time]
-  return ns_trimmed
+  """Clip each note at the onset of its channel's next note.
+
+  Within every (pitch, program, is_drum) channel, a note still sounding
+  when the channel's next onset arrives is clipped to that onset; notes
+  left without positive duration are dropped.
+  Parity: /root/reference/mt3/note_sequences.py:52-69.
+  """
+  out = ns.copy()
+  by_channel = collections.defaultdict(list)
+  for note in out.notes:
+    by_channel[note.pitch, note.program, note.is_drum].append(note)
+  for channel_notes in by_channel.values():
+    channel_notes.sort(key=lambda n: n.start_time)
+    for prev, nxt in zip(channel_notes, channel_notes[1:]):
+      prev.end_time = min(prev.end_time, nxt.start_time)
+  out.notes = [n for n in out.notes if n.end_time > n.start_time]
+  return out
 
 
 def assign_instruments(ns: NoteSequence) -> None:

@@ -49,6 +49,14 @@ def make_multihost_mesh(num_model_partitions: int = 1,
     # CPU/GPU clusters (and the multi-process tests) devices carry no
     # distinct slice_index, so the process is the granule.
     slice_ids = {getattr(d, 'slice_index', 0) for d in jax.devices()}
+    if len(slice_ids) > 1 and len(slice_ids) != dcn_data_parallelism:
+      # Falling through to process granule here would build a mesh whose
+      # DCN axis cuts across slice boundaries (data-parallel allreduce
+      # over ICI+DCN mixed rings) — refuse instead.
+      raise ValueError(
+          f'dcn_data_parallelism={dcn_data_parallelism} does not match '
+          f'the {len(slice_ids)} TPU slices; on multi-slice the DCN '
+          'axis must equal the slice count')
     devices = mesh_utils.create_hybrid_device_mesh(
         (ici_data, num_model_partitions),
         (dcn_data_parallelism, 1),

@@ -8,9 +8,12 @@ TFRecord form.
 
 The reference's f0 tracker is CREPE (a neural model, unavailable here);
 this implementation substitutes a normalized-autocorrelation tracker with
-a periodicity-based confidence.  The HMM (observation/transition
-structure, octave-error modeling, confidence exponent, Viterbi) follows
-the reference exactly.
+a periodicity-based confidence.  The HMM *parameters* (state space of 128
+pitches + rest, Gaussian pitch emission with octave-error mixture,
+confidence-as-P(voiced) exponent, uniform note-change transitions) are
+the reference's published constants; the forward/Viterbi/segmentation
+algorithms are original vectorized implementations (log-space forward,
+[frames, states] lattice DP, run-length note segmentation).
 """
 
 from __future__ import annotations
@@ -100,97 +103,112 @@ def is_monophonic_heuristic(f0_confidence: np.ndarray) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# HMM (reference-exact structure)
+# Pitch-tracking HMM.
+#
+# Parameter table per /root/reference/mt3/scripts/
+# extract_monophonic_examples.py:44-57 (state space 128 pitches + rest;
+# Gaussian pitch emission sigma 0.2 semitones with 5% octave-error mass;
+# confidence^7.5 as P(voiced); 2 note changes/s).  Algorithms below are
+# original vectorized implementations.
 # ---------------------------------------------------------------------------
+def _pitch_emission_loglik(f0_midi: np.ndarray) -> np.ndarray:
+  """log P(observed f0 | pitch state), vectorized over [frames, 128].
+
+  Emission is a 3-component Gaussian mixture in MIDI space: the true
+  pitch plus +/-1 octave errors.
+  """
+  # [frames, pitches, 3 octave hypotheses]
+  offsets = np.array([0.0, 12.0, -12.0])
+  weights = np.array([1.0 - OCTAVE_ERROR_PROB,
+                      OCTAVE_ERROR_PROB / 2, OCTAVE_ERROR_PROB / 2])
+  diff = (f0_midi[:, None, None]
+          - np.arange(NUM_PITCHES)[None, :, None] + offsets)
+  gauss = np.exp(-0.5 * (diff / F0_MIDI_SIGMA) ** 2)
+  gauss /= F0_MIDI_SIGMA * np.sqrt(2 * np.pi)
+  return gauss @ weights
+
+
 def f0_hmm_matrices(f0_hz: np.ndarray, f0_confidence: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
-  """Observation/transition log-likelihood matrices."""
-  from scipy.stats import norm
+  """Observation [frames, 129] and transition [129, 129] log-liks."""
+  voiced_prob = np.power(np.clip(f0_confidence, 1e-9, 1 - 1e-9),
+                         F0_CONFIDENCE_EXP)
+  pitch_lik = _pitch_emission_loglik(hz_to_midi(f0_hz))
 
-  f0_midi = hz_to_midi(f0_hz)
-  f0_midi_diff = f0_midi[:, np.newaxis] - np.arange(NUM_PITCHES)[None, :]
+  obs = np.empty((len(f0_hz), NUM_STATES))
+  # Voiced states: emission spread over the 128 pitches.
+  obs[:, :NUM_PITCHES] = (np.log(np.maximum(pitch_lik, 1e-300))
+                          + np.log(voiced_prob)[:, None]
+                          - np.log(NUM_PITCHES))
+  # Rest state: uniform over pitch observations.
+  obs[:, NUM_PITCHES] = np.log1p(-voiced_prob) - np.log(NUM_PITCHES)
+  # Reference normalizes by log(num_states); path-invariant.
+  obs += np.log(NUM_STATES)
 
-  prob_correct = norm.pdf(f0_midi_diff, scale=F0_MIDI_SIGMA)
-  prob_low = norm.pdf(f0_midi_diff + 12, scale=F0_MIDI_SIGMA)
-  prob_high = norm.pdf(f0_midi_diff - 12, scale=F0_MIDI_SIGMA)
-
-  f0_midi_loglik = ((1 - OCTAVE_ERROR_PROB) * prob_correct
-                    + 0.5 * OCTAVE_ERROR_PROB * prob_low
-                    + 0.5 * OCTAVE_ERROR_PROB * prob_high)
-  f0_midi_rest_loglik = -np.log(NUM_PITCHES)
-
-  conf = np.power(np.clip(f0_confidence, 1e-9, 1 - 1e-9),
-                  F0_CONFIDENCE_EXP)[:, np.newaxis]
-
-  obs_loglik = np.concatenate([
-      f0_midi_loglik + np.log(conf) - np.log(NUM_PITCHES),
-      f0_midi_rest_loglik + np.log(1.0 - conf),
-  ], axis=1)
-  obs_loglik += np.log(NUM_STATES)
-
-  trans_prob = ((NOTE_CHANGE_PROB / NUM_PITCHES) * np.ones(NUM_STATES)
-                + (1 - NOTE_CHANGE_PROB - NOTE_CHANGE_PROB / NUM_PITCHES)
-                * np.eye(NUM_STATES))
-  return obs_loglik, np.log(trans_prob)
+  # Stay with prob 1 - NOTE_CHANGE_PROB; otherwise jump uniformly.
+  jump = NOTE_CHANGE_PROB / NUM_PITCHES
+  trans = np.full((NUM_STATES, NUM_STATES), jump)
+  np.fill_diagonal(trans, 1.0 - NOTE_CHANGE_PROB)
+  return obs, np.log(trans)
 
 
 def hmm_forward(obs_loglik: np.ndarray,
                 trans_loglik: np.ndarray) -> float:
-  """Forward-algorithm log likelihood."""
+  """Total log P(observations): log-space forward pass.
+
+  Works entirely in log domain (logsumexp over the transition lattice)
+  rather than the classic rescaled linear-space recursion.
+  """
   from scipy.special import logsumexp
-  n, k = obs_loglik.shape
-  trans = np.exp(trans_loglik)
-  loglik = 0.0
-  l = obs_loglik[0] - np.log(k)
-  c = logsumexp(l)
-  loglik += c
-  for i in range(1, n):
-    p = np.exp(l - c)
-    l = np.log(np.dot(p, trans)) + obs_loglik[i]
-    c = logsumexp(l)
-    loglik += c
-  return float(loglik)
+  num_states = obs_loglik.shape[1]
+  alpha = obs_loglik[0] - np.log(num_states)  # uniform initial state
+  for obs_t in obs_loglik[1:]:
+    alpha = logsumexp(alpha[:, None] + trans_loglik, axis=0) + obs_t
+  return float(logsumexp(alpha))
 
 
 def hmm_viterbi(obs_loglik: np.ndarray,
                 trans_loglik: np.ndarray) -> List[Optional[int]]:
-  """Viterbi path; None marks rest frames."""
-  n, k = obs_loglik.shape
-  loglik_matrix = np.zeros_like(obs_loglik)
-  path_matrix = np.zeros_like(obs_loglik, dtype=np.int32)
-  loglik_matrix[0, :] = obs_loglik[0, :] - np.log(k)
-  for i in range(1, n):
-    mat = loglik_matrix[i - 1][:, np.newaxis] + trans_loglik
-    path_matrix[i, :] = mat.argmax(axis=0)
-    loglik_matrix[i, :] = (mat[path_matrix[i, :], range(k)]
-                           + obs_loglik[i])
-  path = [int(np.argmax(loglik_matrix[-1]))]
-  for i in range(n, 1, -1):
-    path.append(int(path_matrix[i - 1, path[-1]]))
-  return [(pitch if pitch < NUM_PITCHES else None)
-          for pitch in path[::-1]]
+  """Most likely state path; None marks rest frames.
+
+  Vectorized DP over the [frames, states] lattice with a dense
+  backpointer table and a reverse reconstruction pass.
+  """
+  num_frames, num_states = obs_loglik.shape
+  backptr = np.empty((num_frames, num_states), dtype=np.int64)
+  score = obs_loglik[0] - np.log(num_states)
+  for t in range(1, num_frames):
+    cand = score[:, None] + trans_loglik  # [from, to]
+    backptr[t] = np.argmax(cand, axis=0)
+    score = np.take_along_axis(cand, backptr[t][None, :], axis=0)[0]
+    score = score + obs_loglik[t]
+
+  states = np.empty(num_frames, dtype=np.int64)
+  states[-1] = int(np.argmax(score))
+  for t in range(num_frames - 2, -1, -1):
+    states[t] = backptr[t + 1, states[t + 1]]
+  return [int(s) if s < NUM_PITCHES else None for s in states]
 
 
 def pitches_to_notesequence(pitches: List[Optional[int]]):
-  """Viterbi pitch path -> NoteSequence."""
+  """Pitch path -> NoteSequence via vectorized run-length segmentation."""
   from mt3_tpu.core.note_sequence import NoteSequence
   ns = NoteSequence(ticks_per_quarter=220)
-  current_pitch = None
-  start_time = 0.0
-  for frame, pitch in enumerate(pitches):
-    time = frame / F0_FRAME_RATE
-    if pitch != current_pitch:
-      if current_pitch is not None:
-        ns.add_note(pitch=current_pitch, velocity=100,
-                    start_time=start_time, end_time=time)
-      current_pitch = pitch
-      start_time = time
-  if current_pitch is not None:
-    ns.add_note(pitch=current_pitch, velocity=100,
-                start_time=start_time,
-                end_time=len(pitches) / F0_FRAME_RATE)
+  if not pitches:
+    return ns
+  # Encode rest as -1 so the whole path is one integer array, then find
+  # run boundaries where the value changes.
+  path = np.array([-1 if p is None else p for p in pitches])
+  starts = np.flatnonzero(np.diff(path, prepend=path[0] - 1))
+  ends = np.append(starts[1:], len(path))
+  for start, end in zip(starts, ends):
+    if path[start] < 0:
+      continue
+    ns.add_note(pitch=int(path[start]), velocity=100,
+                start_time=start / F0_FRAME_RATE,
+                end_time=end / F0_FRAME_RATE)
   if ns.notes:
-    ns.total_time = ns.notes[-1].end_time
+    ns.total_time = max(n.end_time for n in ns.notes)
   return ns
 
 

@@ -83,7 +83,15 @@ def restore_checkpoint(path: str, target: PyTree) -> PyTree:
   checkpointer = ocp.StandardCheckpointer()
   try:
     return checkpointer.restore(path, target)
-  except ValueError:
+  except ValueError as e:
+    # Sub-structure restores (params-only warm starts) land here by
+    # design, but so would a genuinely mismatched checkpoint — surface
+    # the original error so a wrong-checkpoint mistake isn't silent.
+    import sys
+    print(f'checkpoint: full restore of {path} failed '
+          f'({type(e).__name__}: {e}); retrying with partial_restore '
+          '(expected for params-only/sub-structure targets)',
+          file=sys.stderr)
     restore_args = ocp.checkpoint_utils.construct_restore_args(target)
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
       return ckptr.restore(
@@ -185,8 +193,17 @@ def convert_t5x_param_dict(t5x_params: dict, num_encoder_layers: int,
 
 
 def convert_mha_to_gqa(params: PyTree, num_heads: int, head_dim: int,
-                       num_kv_heads: int) -> PyTree:
+                       num_kv_heads: int,
+                       allow_unfinetuned: bool = False) -> PyTree:
   """Checkpoint surgery: mean-pool K/V projection heads to num_kv_heads.
+
+  The converted model is NOT servable as-is: mean-pooling alone
+  collapses quality (measured onset F1 0.014 vs teacher 0.419 on the
+  flagship model, TRAINING.md gates table) and REQUIRES a recovery
+  finetune (`cli/train --init_from ... --gqa_kv_heads N`, budget >=5k
+  steps).  Callers that are about to finetune (or deliberately
+  measuring the collapse) must pass allow_unfinetuned=True; anything
+  else raises.
 
   The reference checkpoints are 6-head MHA (gin/model.gin:51); the fast
   decode configuration (PERF.md GQA ledger) wants few KV heads.  Each
@@ -198,6 +215,14 @@ def convert_mha_to_gqa(params: PyTree, num_heads: int, head_dim: int,
   self-attention, decoder self- and cross-attention, scan-stacked
   ([L, emb, h*d]) or not ([emb, h*d]).
   """
+  if not allow_unfinetuned:
+    raise ValueError(
+        'convert_mha_to_gqa produces a warm-start checkpoint that is '
+        'unusable without a recovery finetune (onset F1 collapses to '
+        '~0.01; TRAINING.md).  Finetune via '
+        '`cli/train --init_from <ckpt> --gqa_kv_heads N` (>=5k steps), '
+        'or pass allow_unfinetuned=True if you are about to finetune '
+        'or are deliberately measuring the unfinetuned conversion.')
   if num_heads % num_kv_heads:
     raise ValueError(f'{num_heads} heads not divisible by '
                      f'{num_kv_heads} KV heads')

@@ -374,7 +374,8 @@ def test_mha_to_gqa_conversion_exact_when_heads_identical(config, params):
                        'value': tile_heads(stack[name]['value'])}
 
   gqa_params = convert_mha_to_gqa(tiled, config.num_heads,
-                                  config.head_dim, num_kv)
+                                  config.head_dim, num_kv,
+                                  allow_unfinetuned=True)
   gqa_config = ModelConfig(**{**config.__dict__, 'num_kv_heads': num_kv})
   kshape = gqa_params['decoder']['layers']['self_attention']['key'].shape
   assert kshape[-1] == num_kv * config.head_dim
@@ -408,7 +409,16 @@ def test_mha_to_gqa_conversion_exact_when_heads_identical(config, params):
 def test_mha_to_gqa_conversion_validates_shapes(config, params):
   from mt3_tpu.train.checkpoint import convert_mha_to_gqa
   with pytest.raises(ValueError, match='not divisible'):
-    convert_mha_to_gqa(params, config.num_heads, config.head_dim, 3)
+    convert_mha_to_gqa(params, config.num_heads, config.head_dim, 3,
+                       allow_unfinetuned=True)
+
+
+def test_mha_to_gqa_conversion_requires_finetune_opt_in(config, params):
+  """The unfinetuned conversion collapses quality (TRAINING.md); the
+  converter refuses unless the caller explicitly opts in."""
+  from mt3_tpu.train.checkpoint import convert_mha_to_gqa
+  with pytest.raises(ValueError, match='recovery finetune'):
+    convert_mha_to_gqa(params, config.num_heads, config.head_dim, 2)
 
 
 def test_flash_attention_matches_xla(config, params):

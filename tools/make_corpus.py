@@ -59,7 +59,16 @@ def main(argv=None):
   parser.add_argument('--max_instruments', type=int, default=4)
   parser.add_argument('--drum_prob', type=float, default=0.5)
   parser.add_argument('--velocity_bins', type=int, default=1,
-                      help='vocab config for target indexing (1 = mt3)')
+                      help='vocab config for target indexing (1 = mt3, '
+                           '127 = ismir2021)')
+  parser.add_argument('--programs', default=None,
+                      help='comma-separated GM program pool (default: '
+                           'the multi-family DEFAULT_PROGRAMS; use '
+                           '"0" for the ismir2021 piano-only corpus)')
+  parser.add_argument('--no_ties', action='store_true',
+                      help='omit tie sections in cached targets '
+                           '(ismir2021 flavor: USE_TIES=False, '
+                           'gin/ismir2021.gin)')
   args = parser.parse_args(argv)
 
   spec_config = SpectrogramConfig()
@@ -69,6 +78,9 @@ def main(argv=None):
   common = dict(duration=args.duration, max_instruments=args.max_instruments,
                 drum_prob=args.drum_prob,
                 sample_rate=spec_config.sample_rate)
+  if args.programs is not None:
+    common['programs'] = tuple(
+        int(p) for p in args.programs.split(','))
   train = PolyphonicSynthDataSource(
       num_examples=args.num, seed=args.seed, **common)
   validation = PolyphonicSynthDataSource(
@@ -88,7 +100,8 @@ def main(argv=None):
       yield ex
 
   n = pipeline.build_segment_cache(
-      progress(train), spec_config, codec, cache_dir, include_ties=True)
+      progress(train), spec_config, codec, cache_dir,
+      include_ties=not args.no_ties)
   print(f'train cache: {n} segments in {time.time() - t0:.0f}s '
         f'-> {cache_dir}', file=sys.stderr)
 

@@ -121,8 +121,10 @@ def main():
     print(json.dumps(rows[-1]), flush=True)
 
   if args.gqa:
+    # Deliberately measures the unfinetuned conversion collapse.
     gqa_params = ckpt_lib.convert_mha_to_gqa(
-        mha_params, base.model.num_heads, base.model.head_dim, 1)
+        mha_params, base.model.num_heads, base.model.head_dim, 1,
+        allow_unfinetuned=True)
     rows.append(run('gqa1', {'num_kv_heads': 1,
                              'decode_kv_quantize': True,
                              'decode_kv_bits': 4,
