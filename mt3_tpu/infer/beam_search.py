@@ -48,14 +48,18 @@ def _gather_beams(x: Array, indices: Array, batch: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('config', 'max_decode_len', 'num_beams', 'alpha'))
+    static_argnames=('config', 'max_decode_len', 'num_beams', 'alpha',
+                     'forbid_eos'))
 def beam_search(params, config: ModelConfig, encoded: Array,
                 max_decode_len: int, num_beams: int = 4,
-                alpha: float = 0.6) -> Tuple[Array, Array]:
+                alpha: float = 0.6,
+                forbid_eos: bool = False) -> Tuple[Array, Array]:
   """Beam-search decode.
 
   Returns (tokens [batch, max_decode_len] for the best beam — PAD after
-  EOS — and scores [batch]).
+  EOS — and scores [batch]).  `forbid_eos` masks the EOS logit so no
+  beam can finish: decode runs the full max_decode_len — the worst-case
+  benchmark configuration (matching decode.decode_tokens forbid_eos).
   """
   batch = encoded.shape[0]
 
@@ -98,6 +102,8 @@ def beam_search(params, config: ModelConfig, encoded: Array,
 
     logits, new_state = t5.decode_step(params, config, prev_token, state)
     logits = logits.at[:, PAD_ID].set(NEG_INF)
+    if forbid_eos:
+      logits = logits.at[:, EOS_ID].set(NEG_INF)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32))
     vocab = log_probs.shape[-1]
     log_probs = _unflatten_beam(log_probs, batch, num_beams)

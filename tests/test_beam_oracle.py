@@ -285,3 +285,24 @@ def test_real_model_beam_matches_brute_force():
       f'{float(score[0])} < {finished_scores[best]} '
       f'({candidates[best]} vs {np.asarray(tokens[0])})')
   np.testing.assert_array_equal(np.asarray(tokens[0]), candidates[best])
+
+
+def test_forbid_eos_runs_full_length():
+  """forbid_eos (the benchmark worst case) must emit no EOS and fill
+  every position — matching decode.decode_tokens forbid_eos."""
+  vocab, max_len = 5, 4
+  config = ModelConfig(vocab_size=vocab, emb_dim=16, num_heads=2,
+                       num_encoder_layers=1, num_decoder_layers=1,
+                       head_dim=8, mlp_dim=16, dropout_rate=0.0,
+                       input_depth=8, max_positions=8)
+  params, _ = t5.init_params(jax.random.PRNGKey(3), config)
+  encoded_input = jnp.asarray(
+      np.random.RandomState(0).randn(2, 4, 8).astype(np.float32))
+  encoded = t5.encode(params, config, encoded_input)
+  tokens, _ = bs.beam_search(params, config, encoded,
+                             max_decode_len=max_len, num_beams=3,
+                             forbid_eos=True)
+  arr = np.asarray(tokens)
+  assert arr.shape == (2, max_len)
+  assert not np.any(arr == EOS)
+  assert not np.any(arr == PAD)

@@ -72,6 +72,11 @@ def main():
                       choices=['scan', 'stacked'],
                       help='decode_cache_carry override (stacked = '
                            'in-place column writes to the stacked cache)')
+  parser.add_argument('--num_beams', type=int, default=0,
+                      help='>1: decode with beam search (forbid_eos, '
+                           'full-length worst case) instead of greedy; '
+                           'the reference default decode fn '
+                           '(models.py:127) — cost table in PERF.md')
   args = parser.parse_args()
 
   variant = VARIANTS[args.variant]
@@ -101,17 +106,31 @@ def main():
       args.batch, run.inputs_length,
       spec_config.hop_width).astype(np.float32))
 
-  @jax.jit
-  def transcribe(params, frames):
-    mel = spectrogram.compute_logmel(
-        spectrogram.flatten_frames(frames), spec_config)
-    encoded = t5.encode(params, model_config, mel)
-    return decode.decode_tokens(params, model_config, encoded,
-                                run.targets_length, forbid_eos=True,
-                                bucket_size=bucket,
-                                steps_per_iter=args.steps_per_iter)
+  if args.num_beams > 1:
+    from mt3_tpu.infer import beam_search
 
-  tag = f'{args.variant} batch={args.batch} spi={args.steps_per_iter}'
+    @jax.jit
+    def transcribe(params, frames):
+      mel = spectrogram.compute_logmel(
+          spectrogram.flatten_frames(frames), spec_config)
+      encoded = t5.encode(params, model_config, mel)
+      return beam_search.beam_search(params, model_config, encoded,
+                                     run.targets_length,
+                                     num_beams=args.num_beams,
+                                     forbid_eos=True)
+  else:
+    @jax.jit
+    def transcribe(params, frames):
+      mel = spectrogram.compute_logmel(
+          spectrogram.flatten_frames(frames), spec_config)
+      encoded = t5.encode(params, model_config, mel)
+      return decode.decode_tokens(params, model_config, encoded,
+                                  run.targets_length, forbid_eos=True,
+                                  bucket_size=bucket,
+                                  steps_per_iter=args.steps_per_iter)
+
+  tag = (f'{args.variant} batch={args.batch} spi={args.steps_per_iter}'
+         + (f' beams={args.num_beams}' if args.num_beams > 1 else ''))
   t0 = time.perf_counter()
   np.asarray(transcribe(params, frames)[0])
   print(f'{tag}: compile+run {time.perf_counter() - t0:.1f}s', flush=True)
