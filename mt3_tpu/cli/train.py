@@ -86,6 +86,11 @@ def main(argv=None):
   parser.add_argument('--compile_cache', default='/root/repo/.jax_cache',
                       help='persistent XLA compile cache dir '
                            '(empty string disables)')
+  parser.add_argument('--max_examples_per_mix', type=int, default=None,
+                      help='override the preset: mix 1..N random '
+                           'examples per training example (the '
+                           'reference pretrain recipe uses 8, '
+                           'gin/ismir2022/pretrain.gin:3-10)')
   parser.add_argument('--exit_rss_gb', type=float, default=0,
                       help='if >0: when host RSS exceeds this many GB, '
                            'checkpoint and exit with code 75 so a '
@@ -141,7 +146,10 @@ def main(argv=None):
       batch_size=batch_size, onsets_only=run.onsets_only,
       include_ties=run.use_ties,
       program_granularity=run.program_granularity,
-      max_examples_per_mix=run.max_examples_per_mix, seed=args.seed)
+      max_examples_per_mix=(args.max_examples_per_mix
+                            if args.max_examples_per_mix is not None
+                            else run.max_examples_per_mix),
+      seed=args.seed)
   if args.cache_dir:
     import os
     if not any(f.startswith('cache-') for f in (
