@@ -106,7 +106,16 @@ def main():
   parser.add_argument('--batch', type=int, default=512)
   parser.add_argument('--len', type=int, dest='length', default=1024)
   parser.add_argument('--iters', type=int, default=16)
+  parser.add_argument('--patterns', default='all',
+                      help="comma list of patterns to run (sum, scaled, "
+                           "einsum, batched, layout_d, wide, masked, "
+                           "written, interleaved) or 'all'")
   args = parser.parse_args()
+  _sel = (None if args.patterns == 'all'
+          else set(args.patterns.split(',')))
+
+  def want(key):
+    return _sel is None or key in _sel
 
   dtype = {'int4': jnp.int4, 'int8': jnp.int8,
            'bfloat16': jnp.bfloat16}[args.dtype]
@@ -132,7 +141,8 @@ def main():
 
     return jax.lax.scan(body, jnp.bfloat16(0), None, length=iters)[0]
 
-  report('sum: reduce K+V', timed(sum_fn, i_lo, i_hi), kv_bytes)
+  if want('sum'):
+    report('sum: reduce K+V', timed(sum_fn, i_lo, i_hi), kv_bytes)
 
   # 1b. Production dequant pattern: per-(b,h,position) fp32 scales folded
   # into the logits and the V weights (infer/decode.py quantized path).
@@ -158,13 +168,15 @@ def main():
     return jax.lax.scan(body, q0, None, length=iters)[0]
 
   scale_bytes = 2 * 4 * L * b * H * length
-  report('scaled: einsum + fp32 scales (production)',
-         timed(scaled_fn, i_lo, i_hi), kv_bytes + scale_bytes)
+  if want('scaled'):
+    report('scaled: einsum + fp32 scales (production)',
+           timed(scaled_fn, i_lo, i_hi), kv_bytes + scale_bytes)
 
   # 2. What decode does: per-layer M=1 einsums, softmax, weighted V.
-  report('einsum: per-layer M=1 attention (decode)',
-         timed(functools.partial(attention_scan, shape, dtype, False),
-               i_lo, i_hi), kv_bytes)
+  if want('einsum'):
+    report('einsum: per-layer M=1 attention (decode)',
+           timed(functools.partial(attention_scan, shape, dtype, False),
+                 i_lo, i_hi), kv_bytes)
 
   # 3. Layer-batched: one einsum reads the whole K at once.
   def batched_fn(iters):
@@ -182,19 +194,128 @@ def main():
 
     return jax.lax.scan(body, q0, None, length=iters)[0]
 
-  report('batched: single layer-folded einsum',
-         timed(batched_fn, i_lo, i_hi), kv_bytes)
+  if want('batched'):
+    report('batched: single layer-folded einsum',
+           timed(batched_fn, i_lo, i_hi), kv_bytes)
 
   # 4. d-minor layout [L,b,h,len,d].
-  report('layout_d: [.., len, d] per-layer einsum',
-         timed(functools.partial(attention_scan, shape_d, dtype, True),
-               i_lo, i_hi), kv_bytes)
+  if want('layout_d'):
+    report('layout_d: [.., len, d] per-layer einsum',
+           timed(functools.partial(attention_scan, shape_d, dtype, True),
+                 i_lo, i_hi), kv_bytes)
 
   # 5. Same bytes, batch 4x wider / len 4x shorter.
   shape_w = (L, b * 4, H, D, length // 4)
-  report(f'wide: batch {b * 4} x len {length // 4} per-layer einsum',
-         timed(functools.partial(attention_scan, shape_w, dtype, False),
-               i_lo, i_hi), 2 * cache_bytes(shape_w, dtype))
+  if want('wide'):
+    report(f'wide: batch {b * 4} x len {length // 4} per-layer einsum',
+           timed(functools.partial(attention_scan, shape_w, dtype, False),
+                 i_lo, i_hi), 2 * cache_bytes(shape_w, dtype))
+
+  # --- Round-4 residual attribution (VERDICT #3): each pattern adds ONE
+  # production-decode ingredient to the 'scaled' baseline, so the
+  # production-vs-isolated bandwidth gap can be itemized.
+
+  # 6. + live-length mask: decode masks logits beyond the live index
+  # (an iota compare + where over [b,h,len] per layer, VPU work that
+  # scales with the prefix like the cache reads do).
+  def masked_fn(iters):
+    k = build_cache(shape, dtype, 0)
+    v = build_cache(shape, dtype, 1)
+    ks = jnp.abs(build_cache((L, b, H, length), jnp.float32, 2)) + 0.5
+    vs = jnp.abs(build_cache((L, b, H, length), jnp.float32, 3)) + 0.5
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (b, H, D), jnp.bfloat16)
+    positions = jnp.arange(length)
+
+    def body(carry, i):
+      q, live = carry
+      mask = positions[None, None, :] < live
+      outs = q
+      for layer in range(L):
+        logits = jnp.einsum('bhd,bhdl->bhl', outs,
+                            k[layer].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        logits = jnp.where(mask, logits * ks[layer], -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
+        w = (w * vs[layer]).astype(jnp.bfloat16)
+        outs = jnp.einsum('bhl,bhdl->bhd', w, v[layer].astype(jnp.bfloat16))
+      return (outs, live + 1), ()
+
+    live0 = jnp.array(length // 2, jnp.int32)
+    return jax.lax.scan(body, (q0, live0), jnp.arange(iters))[0][0]
+
+  if want('masked'):
+    report('masked: + live-length logits mask',
+           timed(masked_fn, i_lo, i_hi), kv_bytes + scale_bytes)
+
+  # 7. + dus column write: each iteration writes one K and one V column
+  # (+ scales) at the live index, like the cache update.
+  def written_fn(iters):
+    ks = jnp.abs(build_cache((L, b, H, length), jnp.float32, 2)) + 0.5
+    vs = jnp.abs(build_cache((L, b, H, length), jnp.float32, 3)) + 0.5
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (b, H, D), jnp.bfloat16)
+    newcol = jnp.clip(
+        jnp.round(jax.random.normal(jax.random.PRNGKey(5), (b, H, D, 1),
+                                    jnp.float32) * 3.0), -7, 7).astype(dtype)
+
+    def body(carry, i):
+      q, k, v = carry
+      pos = i % length
+      zero = jnp.zeros((), jnp.int32)
+      outs = q
+      for layer in range(L):
+        start = (jnp.int32(layer), zero, zero, zero, pos)
+        k = jax.lax.dynamic_update_slice(k, newcol[None], start)
+        v = jax.lax.dynamic_update_slice(v, newcol[None], start)
+        logits = jnp.einsum('bhd,bhdl->bhl', outs,
+                            k[layer].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        logits = logits * ks[layer]
+        w = jax.nn.softmax(logits, axis=-1)
+        w = (w * vs[layer]).astype(jnp.bfloat16)
+        outs = jnp.einsum('bhl,bhdl->bhd', w, v[layer].astype(jnp.bfloat16))
+      return (outs, k, v), ()
+
+    k0 = build_cache(shape, dtype, 0)
+    v0 = build_cache(shape, dtype, 1)
+    return jax.lax.scan(body, (q0, k0, v0), jnp.arange(iters))[0][0]
+
+  if want('written'):
+    report('written: + per-iter dus K/V column writes',
+           timed(written_fn, i_lo, i_hi), kv_bytes + scale_bytes)
+
+  # 8. + interleaved per-step work: an MLP-sized matmul between layers
+  # breaks the uninterrupted cache stream like the real decoder
+  # (attention out-proj + MLP + logits between consecutive cache reads).
+  def interleaved_fn(iters):
+    k = build_cache(shape, dtype, 0)
+    v = build_cache(shape, dtype, 1)
+    ks = jnp.abs(build_cache((L, b, H, length), jnp.float32, 2)) + 0.5
+    vs = jnp.abs(build_cache((L, b, H, length), jnp.float32, 3)) + 0.5
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (b, H, D), jnp.bfloat16)
+    wi = jax.random.normal(jax.random.PRNGKey(6), (H * D, 1024),
+                           jnp.bfloat16)
+    wo = jax.random.normal(jax.random.PRNGKey(7), (1024, H * D),
+                           jnp.bfloat16)
+
+    def body(q, _):
+      outs = q
+      for layer in range(L):
+        logits = jnp.einsum('bhd,bhdl->bhl', outs,
+                            k[layer].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        logits = logits * ks[layer]
+        w = jax.nn.softmax(logits, axis=-1)
+        w = (w * vs[layer]).astype(jnp.bfloat16)
+        outs = jnp.einsum('bhl,bhdl->bhd', w, v[layer].astype(jnp.bfloat16))
+        h = jax.nn.gelu(outs.reshape(b, H * D) @ wi)
+        outs = (h @ wo).reshape(b, H, D)
+      return outs, ()
+
+    return jax.lax.scan(body, q0, None, length=iters)[0]
+
+  if want('interleaved'):
+    report('interleaved: + MLP matmul between layers',
+           timed(interleaved_fn, i_lo, i_hi), kv_bytes + scale_bytes)
 
 
 if __name__ == '__main__':
