@@ -39,11 +39,11 @@ while [ $restarts -lt $MAX_RESTARTS ]; do
     # Init-phase wedge detector: after an exit-75 recycle the next
     # process sometimes hangs at TPU init (tiny RSS, no log progress).
     # Preload alone pushes RSS into the GBs within minutes, so a
-    # several-minute-old process under 1.2 GB is wedged - kill early
+    # several-minute-old process under 1.2 GB is wedged - kill a bit early
     # instead of waiting out the 20-min stale watchdog.
     age=$(( $(date +%s) - launch_ts ))
     rss_kb=$(ps -o rss= -p $PID 2>/dev/null | tr -d ' ')
-    if [ -n "$rss_kb" ] && [ $age -gt 420 ] && [ "$rss_kb" -lt 1200000 ]; then
+    if [ -n "$rss_kb" ] && [ $age -gt 1080 ] && [ "$rss_kb" -lt 1200000 ]; then
       echo "$(date -u +%FT%TZ) watchdog: init wedge (age ${age}s, rss ${rss_kb}kB), killing $PID"
       kill -9 $PID 2>/dev/null
       sleep 5
