@@ -61,6 +61,10 @@ def _corpus_frames(data_dir, spec_config, inputs_length, num_segments):
         break
     if len(segs) >= num_segments:
       break
+  if not segs:
+    raise SystemExit(
+        f'no usable segments in --audio dir {data_dir!r}: need clips with '
+        f'>= {inputs_length} frames ({inputs_length / spec_config.frames_per_second:.1f} s)')
   reps = -(-num_segments // len(segs))
   return np.concatenate([np.stack(segs)] * reps)[:num_segments]
 
@@ -73,10 +77,16 @@ def main(argv=None):
                            'the random-weights worst case')
   parser.add_argument('--audio', default='corpus/validation',
                       help='corpus dir for --checkpoint mode audio')
-  parser.add_argument('--kv_heads', type=int, default=0,
-                      help='run the GQA decode config with N KV heads '
-                           '(checkpoint must be GQA-shaped if '
-                           '--checkpoint is also given)')
+  parser.add_argument('--kv_heads', type=int, default=1,
+                      help='GQA KV heads for the decode config; the '
+                           'default 1 is the production configuration, '
+                           'quality-gated on the finetuned GQA '
+                           'checkpoint (gqa1_ft onset F1 -0.006 vs the '
+                           'MHA teacher on held-out test clips, '
+                           'quality_gates.jsonl checkpoint_21061 rows). '
+                           '0 = plain MHA.  A --checkpoint must be '
+                           'shaped to match (runs/gqa_ft/ckpt for 1, '
+                           'runs/mt3_flagship/ckpt for 0)')
   args = parser.parse_args(argv)
 
   from mt3_tpu.core import config as config_lib
@@ -85,10 +95,13 @@ def main(argv=None):
   from mt3_tpu.ops import spectrogram
 
   config = config_lib.mt3_config()
-  # bfloat16 activations; int4-quantized self-attention KV cache AND
-  # int8 cross-attention K/V (decode is HBM-bound on those reads; onset-F1
-  # preservation is gated on the trained flagship model by
-  # tools/quality_gates.py + tests/test_int8_quality.py).
+  # bfloat16 activations; int4-quantized self-attention KV cache, int8
+  # cross-attention K/V, and GQA with 1 KV head (decode is HBM-bound on
+  # cache reads; GQA cuts self-attn cache traffic 6x).  Onset-F1
+  # preservation of every knob is gated on the trained flagship
+  # checkpoint_21061 by tools/quality_gates.py (int4_cross +0.005,
+  # stacked +0.004, gqa1_ft -0.006 vs bf16 — quality_gates.jsonl) +
+  # tests/test_int8_quality.py.
   model_config = config_lib.ModelConfig(
       **{**config.model.__dict__, 'dtype': 'bfloat16',
          'decode_kv_quantize': True,
@@ -147,11 +160,15 @@ def main(argv=None):
     tokens, lengths = transcribe(params, frames)
     np.asarray(tokens)
 
+  # The full tokens fetch stays inside the timed region (CLAUDE.md relay
+  # quirk: small fetches under-report; the ledger in PERF.md was measured
+  # with the tokens transfer included).
   start = time.perf_counter()
   for _ in range(TIMED_ITERS):
     tokens, lengths = transcribe(params, frames)
-    mean_len = float(np.mean(np.asarray(lengths)))
+    np.asarray(tokens)
   elapsed = time.perf_counter() - start
+  mean_len = float(np.mean(np.asarray(lengths)))
 
   seconds_per_iter = elapsed / TIMED_ITERS
   audio_sec_per_sec = audio_seconds_per_iter / seconds_per_iter

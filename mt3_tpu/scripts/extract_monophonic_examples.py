@@ -111,11 +111,17 @@ def is_monophonic_heuristic(f0_confidence: np.ndarray) -> bool:
 # confidence^7.5 as P(voiced); 2 note changes/s).  Algorithms below are
 # original vectorized implementations.
 # ---------------------------------------------------------------------------
-def _pitch_emission_loglik(f0_midi: np.ndarray) -> np.ndarray:
-  """log P(observed f0 | pitch state), vectorized over [frames, 128].
+def _pitch_emission_density(f0_midi: np.ndarray) -> np.ndarray:
+  """Pitch-emission term, vectorized over [frames, 128].
 
   Emission is a 3-component Gaussian mixture in MIDI space: the true
-  pitch plus +/-1 octave errors.
+  pitch plus +/-1 octave errors.  Returns the raw mixture *density*,
+  which the observation matrix adds directly to log-domain terms —
+  deliberately reproducing the reference's arithmetic
+  (extract_monophonic_examples.py:81-93 uses the density as if it were
+  a log-likelihood; its own variable is named ``f0_midi_loglik``).
+  Behavior parity with the reference's extracted datasets requires
+  keeping that quirk; see PARITY.md "monophonic HMM emission".
   """
   # [frames, pitches, 3 octave hypotheses]
   offsets = np.array([0.0, 12.0, -12.0])
@@ -133,11 +139,14 @@ def f0_hmm_matrices(f0_hz: np.ndarray, f0_confidence: np.ndarray
   """Observation [frames, 129] and transition [129, 129] log-liks."""
   voiced_prob = np.power(np.clip(f0_confidence, 1e-9, 1 - 1e-9),
                          F0_CONFIDENCE_EXP)
-  pitch_lik = _pitch_emission_loglik(hz_to_midi(f0_hz))
+  pitch_density = _pitch_emission_density(hz_to_midi(f0_hz))
 
   obs = np.empty((len(f0_hz), NUM_STATES))
-  # Voiced states: emission spread over the 128 pitches.
-  obs[:, :NUM_PITCHES] = (np.log(np.maximum(pitch_lik, 1e-300))
+  # Voiced states: the raw mixture density is added to the log-domain
+  # confidence term, matching the reference arithmetic exactly (see
+  # _pitch_emission_density docstring) so Viterbi paths and extracted
+  # notes agree with the reference tool.
+  obs[:, :NUM_PITCHES] = (pitch_density
                           + np.log(voiced_prob)[:, None]
                           - np.log(NUM_PITCHES))
   # Rest state: uniform over pitch observations.

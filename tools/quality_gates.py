@@ -81,6 +81,9 @@ def main():
                            "'gqa1_ft' (params stored with 1 KV head)")
   parser.add_argument('--out', default=None,
                       help='append one JSON line per variant here')
+  parser.add_argument('--tag', default=None,
+                      help='checkpoint tag recorded in each output row '
+                           '(e.g. checkpoint_21061)')
   args = parser.parse_args()
 
   base = config_lib.CONFIG_FACTORIES[args.model]()
@@ -104,11 +107,13 @@ def main():
         num_beams=num_beams)
     scores = evaluator.evaluate_dataset(examples, transcriber)
     return {'variant': name,
+            **({'checkpoint': args.tag} if args.tag else {}),
             'onset_f1': scores['Onset F1'],
             'onset_offset_f1': scores['Onset & offset F1']
             if 'Onset & offset F1' in scores
             else scores.get('Onset + offset F1', 0.0),
-            'frame_f1': scores.get('Frame F1', 0.0)}
+            'frame_f1': scores.get('Frame F1', 0.0),
+            'onset_velocity_f1': scores.get('Onset + velocity F1', 0.0)}
 
   rows = []
   for name in args.variants.split(','):

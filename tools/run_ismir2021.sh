@@ -18,6 +18,18 @@ STEPS=${STEPS:-6000}
 BATCH=${BATCH:-64}
 MAX_RESTARTS=${MAX_RESTARTS:-10}
 
+# The 3072-segment TRAIN split lives only in corpus_piano/cache (built by
+# tools/make_corpus.py, see corpus_piano/build.log).  --data below is the
+# cache-miss fallback source; if the cache were missing, cli/train would
+# silently rebuild it from the 24 *validation* clips and then evaluate on
+# the same clips (train/eval contamination).  Refuse to start instead.
+if ! ls corpus_piano/cache/cache-*.tfrecord >/dev/null 2>&1; then
+  echo "ERROR: corpus_piano/cache is empty - regenerate the train cache with:"
+  echo "  python tools/make_corpus.py --out corpus_piano --num 3072 \\"
+  echo "      --programs 0 --velocity_bins 127 --no_ties  (see corpus_piano/build.log)"
+  exit 1
+fi
+
 restarts=0
 while [ $restarts -lt $MAX_RESTARTS ]; do
   python -m mt3_tpu.cli.train --model ismir2021 \
