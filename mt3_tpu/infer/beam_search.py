@@ -152,6 +152,13 @@ def beam_search(params, config: ModelConfig, encoded: Array,
 
     def reshuffle(x):
       # Cache leaves are [layers, batch*beams, ...]; cross K/V likewise.
+      # Sub-byte (int4) gathers crashed the TPU worker on this backend
+      # (round-5 beam runs, /tmp/pe_beam*.log); route the gather through
+      # int8 — the cache stays int4 between steps, only the reshuffle
+      # temporarily widens.
+      if x.dtype == jnp.int4:
+        return jnp.take(x.astype(jnp.int8), flat_beam_index,
+                        axis=1).astype(jnp.int4)
       return jnp.take(x, flat_beam_index, axis=1)
 
     new_state = t5.DecodeState(
