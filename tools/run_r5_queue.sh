@@ -56,7 +56,7 @@ step trained_bench python bench.py --checkpoint runs/gqa_ft/ckpt --audio corpus/
 #    fit the per-bucket model, and run the residual-attribution patterns.
 step bw_profile python tools/perf_experiments.py --variant int4_cross_gqa1 \
   --batch 1024 --steps_per_iter 16 --cache_carry stacked --profile /tmp/prof_r5
-step bw_fit python tools/bucket_fit.py /tmp/prof_r5 --batch 1024 --spi 16
+step bw_fit python tools/bucket_fit.py /tmp/prof_r5 --batch 1024 --spi 16 --kv_heads 1
 step bw_patterns python tools/cache_bw_bench.py --patterns masked,written,interleaved --batch 1024
 
 # 3. Beam cost (VERDICT #5), crash-safe int8 cache first.  Greedy
