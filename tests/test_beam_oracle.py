@@ -306,3 +306,57 @@ def test_forbid_eos_runs_full_length():
   assert arr.shape == (2, max_len)
   assert not np.any(arr == EOS)
   assert not np.any(arr == PAD)
+
+
+# ---------------------------------------------------------------------------
+# int4 cache reshuffle (round-5 fix: sub-byte gathers crashed the TPU
+# worker; beam routes int4 gathers through int8 — beam_search.py:155-161)
+# ---------------------------------------------------------------------------
+def test_int4_reshuffle_widening_is_exact():
+  """take(int8-widened).astype(int4) must equal the direct int4 take for
+  every representable int4 value (the fix is a pure routing change)."""
+  rng = np.random.RandomState(11)
+  x = jnp.asarray(rng.randint(-8, 8, size=(2, 6, 3, 4)), dtype=jnp.int4)
+  idx = jnp.asarray(rng.randint(0, 6, size=6))
+  direct = jnp.take(x, idx, axis=1)  # works on CPU
+  widened = jnp.take(x.astype(jnp.int8), idx, axis=1).astype(jnp.int4)
+  np.testing.assert_array_equal(np.asarray(direct.astype(jnp.int8)),
+                                np.asarray(widened.astype(jnp.int8)))
+
+
+def test_real_model_beam_int4_cache_matches_direct_gather(monkeypatch):
+  """End-to-end beam with an int4 self-attn cache: the int8-routed
+  reshuffle must produce bit-identical tokens/scores to the direct int4
+  gather (branch disabled via a jnp shim whose int4 never matches)."""
+  vocab, max_len = 6, 5
+  config = ModelConfig(vocab_size=vocab, emb_dim=16, num_heads=2,
+                       num_encoder_layers=1, num_decoder_layers=1,
+                       head_dim=8, mlp_dim=16, dropout_rate=0.0,
+                       input_depth=8, max_positions=8,
+                       decode_kv_quantize=True, decode_kv_bits=4,
+                       decode_cross_kv_quantize=True)
+  params, _ = t5.init_params(jax.random.PRNGKey(5), config)
+  encoded_input = jnp.asarray(
+      np.random.RandomState(2).randn(2, 4, 8).astype(np.float32))
+  encoded = t5.encode(params, config, encoded_input)
+
+  tokens_fix, scores_fix = bs.beam_search(
+      params, config, encoded, max_decode_len=max_len, num_beams=3)
+
+  class _NoInt4Jnp:
+    """Forwards to jnp but exposes an int4 sentinel that never equals a
+    real dtype, so beam_search's widening branch is skipped and the
+    reshuffle gathers int4 directly (legal on CPU)."""
+    int4 = object()
+
+    def __getattr__(self, name):
+      return getattr(jnp, name)
+
+  monkeypatch.setattr(bs, 'jnp', _NoInt4Jnp())
+  tokens_direct, scores_direct = bs.beam_search(
+      params, config, encoded, max_decode_len=max_len, num_beams=3)
+
+  np.testing.assert_array_equal(np.asarray(tokens_fix),
+                                np.asarray(tokens_direct))
+  np.testing.assert_array_equal(np.asarray(scores_fix),
+                                np.asarray(scores_direct))
