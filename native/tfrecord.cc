@@ -38,7 +38,7 @@ void crc_init() {
   g_crc_init = true;
 }
 
-uint32_t crc32c(const uint8_t* data, size_t n) {
+uint32_t crc32c_sw(const uint8_t* data, size_t n) {
   crc_init();
   uint32_t c = 0xFFFFFFFFu;
   for (size_t i = 0; i < n; i++) {
@@ -46,6 +46,48 @@ uint32_t crc32c(const uint8_t* data, size_t n) {
   }
   return c ^ 0xFFFFFFFFu;
 }
+
+#if defined(__SSE4_2__) || defined(__x86_64__)
+#include <cpuid.h>
+#include <nmmintrin.h>
+
+bool hw_crc_supported() {
+  static int cached = -1;
+  if (cached < 0) {
+    unsigned eax, ebx, ecx = 0, edx;
+    cached = (__get_cpuid(1, &eax, &ebx, &ecx, &edx) &&
+              (ecx & (1u << 20))) ? 1 : 0;  // SSE4.2
+  }
+  return cached == 1;
+}
+
+// Hardware CRC32C: 8 bytes/instruction (~an order of magnitude over the
+// table loop).  The reader verifies every ~0.5 MB segment record on the
+// streaming path, where the table CRC was the measured bottleneck
+// (~2 ms/record = 70% of host pipeline time at mix<=8).
+__attribute__((target("sse4.2")))
+uint32_t crc32c_hw(const uint8_t* data, size_t n) {
+  uint64_t c = 0xFFFFFFFFu;
+  while (n >= 8) {
+    uint64_t v;
+    __builtin_memcpy(&v, data, 8);
+    c = _mm_crc32_u64(c, v);
+    data += 8;
+    n -= 8;
+  }
+  uint32_t c32 = (uint32_t)c;
+  while (n--) c32 = _mm_crc32_u8(c32, *data++);
+  return c32 ^ 0xFFFFFFFFu;
+}
+
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  return hw_crc_supported() ? crc32c_hw(data, n) : crc32c_sw(data, n);
+}
+#else
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  return crc32c_sw(data, n);
+}
+#endif
 
 uint32_t masked_crc(const uint8_t* data, size_t n) {
   uint32_t crc = crc32c(data, n);
