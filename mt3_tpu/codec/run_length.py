@@ -212,23 +212,39 @@ def run_length_encode_shifts(
   tokens = np.asarray(tokens, dtype=np.int32)
   if tokens.size == 0:
     return tokens
-  is_shift = np.array([codec.is_shift_event_index(int(t)) for t in tokens])
-  # Cheaper vectorized equivalent (shift range is [0, max_shift_steps]):
   is_shift = (tokens >= 0) & (tokens <= codec.max_shift_steps)
 
   total_steps = np.cumsum(is_shift)
+  event_idx = np.nonzero(~is_shift)[0]
+  if event_idx.size == 0:
+    return np.array([], dtype=np.int32)
+  events = tokens[event_idx]
+  # Step total at each event; totals are nondecreasing, so "changed
+  # since last emission" reduces to a positive first difference, and a
+  # value can never recur after it stops being emitted.
+  ev_steps = total_steps[event_idx]
+  emit = (ev_steps > 0) & (np.diff(ev_steps, prepend=0) > 0)
+
+  if not emit.any():
+    return events.astype(np.int32)
+  emit_steps = ev_steps[emit]
+  if int(emit_steps[-1]) <= codec.max_shift_steps:
+    # Fast path (typical: segment spans < max_shift_steps): exactly one
+    # shift token per emission, placed before its event.
+    return np.insert(events, np.nonzero(emit)[0],
+                     emit_steps).astype(np.int32)
+
+  # Chunked path: a total past max_shift_steps is emitted as
+  # [max, max, ..., remainder] before the event.
   output = []
-  prev_emitted = -1  # last total-step value emitted before an event
-  for idx in np.nonzero(~is_shift)[0]:
-    steps = int(total_steps[idx])
-    if steps > 0 and steps != prev_emitted:
-      remaining = steps
+  for i in range(events.size):
+    if emit[i]:
+      remaining = int(ev_steps[i])
       while remaining > 0:
-        emit = min(codec.max_shift_steps, remaining)
-        output.append(emit)
-        remaining -= emit
-      prev_emitted = steps
-    output.append(int(tokens[idx]))
+        out = min(codec.max_shift_steps, remaining)
+        output.append(out)
+        remaining -= out
+    output.append(int(events[i]))
   return np.array(output, dtype=np.int32)
 
 
@@ -242,9 +258,23 @@ def merge_run_length_encoded_targets(
   targets = np.asarray(targets, dtype=np.int32)
   num_tracks, targets_length = targets.shape
 
+  # Precompute, per track: shift-ness of every token and the next scan
+  # boundary (shift token or zero padding) at or after each position.
+  # The merge loop then does O(1) work per token instead of a method
+  # call per scanned position (the measured mixing hot spot).
+  is_shift = (targets >= 0) & (targets <= codec.max_shift_steps)
+  stop = is_shift | (targets == 0)
+  positions = np.arange(targets_length, dtype=np.int64)
+  boundary = np.where(stop, positions[None, :], targets_length)
+  next_stop = np.minimum.accumulate(boundary[:, ::-1], axis=1)[:, ::-1]
+
+  heads = [list(map(int, targets[i])) for i in range(num_tracks)]
+  shift_rows = [row.tolist() for row in is_shift]
+  next_rows = [row.tolist() for row in next_stop]
+
   current_step = 0
   current_offsets = [0] * num_tracks
-  output = []
+  slices = []
 
   while True:
     # Find the track with the earliest next step.
@@ -252,15 +282,14 @@ def merge_run_length_encoded_targets(
     next_track = -1
     for i in range(num_tracks):
       off = current_offsets[i]
-      if off == targets_length or targets[i][off] == 0:
+      if off == targets_length or heads[i][off] == 0:
         continue  # track exhausted (zero is always padding)
-      tok = int(targets[i][off])
-      if not codec.is_shift_event_index(tok):
+      if not shift_rows[i][off]:
         # Non-shift head means we haven't reached the first shift: step 0.
         next_step = 0
         next_track = i
-      elif tok < next_step:
-        next_step = tok
+      elif heads[i][off] < next_step:
+        next_step = heads[i][off]
         next_track = i
 
     if next_track == -1:
@@ -272,19 +301,20 @@ def merge_run_length_encoded_targets(
     else:
       start_offset = current_offsets[next_track]
 
-    # Merge events up to but not including the next shift.
-    end_offset = start_offset + 1
-    while (end_offset < targets_length
-           and not codec.is_shift_event_index(
-               int(targets[next_track][end_offset]))
-           and targets[next_track][end_offset] != 0):
-      end_offset += 1
-    output.extend(targets[next_track][start_offset:end_offset].tolist())
+    # Merge events up to but not including the next shift / padding.
+    if start_offset + 1 < targets_length:
+      end_offset = max(next_rows[next_track][start_offset + 1],
+                       start_offset + 1)
+    else:
+      end_offset = start_offset + 1
+    slices.append(targets[next_track, start_offset:end_offset])
 
     current_step = next_step
     current_offsets[next_track] = end_offset
 
-  return np.array(output, dtype=np.int32)
+  if not slices:
+    return np.array([], dtype=np.int32)
+  return np.concatenate(slices).astype(np.int32)
 
 
 def decode_events(
