@@ -303,10 +303,12 @@ def merge_run_length_encoded_targets(
 
     # Merge events up to but not including the next shift / padding.
     if start_offset + 1 < targets_length:
-      end_offset = max(next_rows[next_track][start_offset + 1],
-                       start_offset + 1)
+      end_offset = next_rows[next_track][start_offset + 1]
     else:
-      end_offset = start_offset + 1
+      # A duplicate-shift skip at the last column can push start_offset
+      # to targets_length; clamp so the track reads as exhausted instead
+      # of indexing past the row.
+      end_offset = min(start_offset + 1, targets_length)
     slices.append(targets[next_track, start_offset:end_offset])
 
     current_step = next_step

@@ -170,3 +170,17 @@ def test_merge_matches_oracle_edge_cases():
   np.testing.assert_array_equal(
       run_length.merge_run_length_encoded_targets(pair, codec),
       _merge_oracle(pair, codec))
+
+
+def test_merge_duplicate_shift_at_last_column_terminates():
+  """A track whose final column is a shift equal to the current step
+  used to push the offset past the row width (IndexError in the
+  pre-optimization code); it must now read as exhausted."""
+  codec = _codec()
+  e = codec.max_shift_steps + 205  # some event token
+  targets = np.array([
+      [5, e, 0],
+      [e, e, 5],
+  ], dtype=np.int32)
+  out = run_length.merge_run_length_encoded_targets(targets, codec)
+  np.testing.assert_array_equal(out, np.array([e, e, 5, e], np.int32))
