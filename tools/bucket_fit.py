@@ -34,8 +34,23 @@ import sys
 import numpy as np
 
 
+def _import_xplane_pb2():
+  # The xplane proto moved between TF builds; this machine's TF ships
+  # it under tensorflow.tsl (verified round 5).
+  errors = []
+  for mod in ('tensorflow.tsl.profiler.protobuf.xplane_pb2',
+              'tensorflow.core.profiler.protobuf.xplane_pb2',
+              'tsl.profiler.protobuf.xplane_pb2'):
+    try:
+      import importlib
+      return importlib.import_module(mod)
+    except ImportError as e:
+      errors.append(str(e))
+  raise SystemExit('no xplane_pb2 module available: ' + '; '.join(errors))
+
+
 def load_xplanes(profile_dir: str):
-  from tensorflow.core.profiler.protobuf import xplane_pb2
+  xplane_pb2 = _import_xplane_pb2()
   paths = glob.glob(os.path.join(profile_dir, '**', '*.xplane.pb'),
                     recursive=True)
   if not paths:
